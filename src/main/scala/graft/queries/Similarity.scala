@@ -1,0 +1,174 @@
+package graft.queries
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.expr.GraftFunctions
+
+/** Similarity search over the `embeddings` fixture (vec_id, embedding:
+  * array<float> dim 64, label) — the training-data-pipeline ANN surface.
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k for a probe set (baseline; exact);
+  *  - all-pairs threshold near-dup (exact; quadratic — correctness anchor);
+  *  - banded random-hyperplane LSH (the 100 TB scale path: candidates come
+  *    from an equi-join on (band, bucket) — a plain shuffle join — instead
+  *    of a cross join; exact cosine re-verifies candidates).
+  *
+  * The LSH hyperplanes are deterministic (seeded), and the DuckDB oracle
+  * SQL is *generated from the same plane constants*, so even the LSH
+  * pipeline is oracle-checked end to end.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val Bands = 8
+  private val RowsPerBand = 3
+  private val NPlanes = Bands * RowsPerBand
+  private val Threshold = 0.35
+
+  /** Deterministic random hyperplanes (seed fixed → identical in Spark and
+    * generated oracle SQL). */
+  private[queries] val planes: Array[Array[Double]] = {
+    val rnd = new Random(20240812L)
+    Array.fill(NPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, d)
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(lit): _*)
+
+  /** Sign-bit bucket of one band (r planes packed into an int). */
+  private def bandBucket(e: Column, band: Int): Column =
+    (0 until RowsPerBand).map { j =>
+      val p = planes(band * RowsPerBand + j)
+      (GraftFunctions.dotProduct(e, planeLit(p)) > 0).cast("int") * lit(1 << j)
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-5 neighbors for probes vec_id<10 (SURVEY-brief
+    * ANN baseline). Probe side broadcasts; candidate scan streams once —
+    * at cluster scale this is a broadcast nested-loop over the candidate
+    * partitions, the canonical exact-scoring pattern. */
+  val annTopk = Q(
+    "q20_ann_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      cands.crossJoin(broadcast(probes))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          GraftFunctions.cosineSimilarity(col("pe"), col("ce")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+                round(col("score"), 6).as("score"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""SELECT probe_id, neighbor_id, rank, round(score, 6) AS score FROM (
+             SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS score,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) DESC,
+                 b.vec_id) AS rank
+             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+             WHERE a.vec_id < 10) t
+           WHERE rank <= 5 ORDER BY probe_id, rank""")
+  )
+
+  /** Exact embedding-cosine near-duplicate pairs (threshold 0.35 — the
+    * fixture's vectors are near-orthogonal, max pairwise cos ≈ 0.51).
+    * Quadratic by construction; q22 is the scale path. */
+  val embeddingNeardup = Q(
+    "q21_embedding_neardup",
+    (s, d) => {
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.crossJoin(b)
+        .where(col("a_id") < col("b_id"))
+        .withColumn("score",
+          GraftFunctions.cosineSimilarity(col("ea"), col("eb")))
+        .where(col("score") >= Threshold)
+        .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= $Threshold
+            ORDER BY a_id, b_id""")
+  )
+
+  /** Banded random-hyperplane LSH near-dup: signature → explode bands →
+    * equi-join on (band, bucket) → distinct candidate pairs → exact cosine
+    * verify. This is the shape that survives 100 TB: the only join key is
+    * (band, bucket), so candidates shuffle-partition evenly and no cross
+    * join exists anywhere. Oracle SQL is generated from the same seeded
+    * hyperplanes, so bucketing itself is verified. */
+  val lshNeardup = Q(
+    "q22_lsh_neardup",
+    (s, d) => {
+      val e = emb(s, d)
+      val sig = e.select(
+        col("vec_id"), col("embedding"),
+        array((0 until Bands).map(bandBucket(col("embedding"), _)): _*).as("bks"))
+      val exploded = sig.select(
+        col("vec_id"), col("embedding"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+      val a = exploded.select(col("band"), col("bucket"),
+        col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = exploded.select(col("band"), col("bucket"),
+        col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, Seq("band", "bucket"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("ea"), col("eb"))
+        .distinct()
+        .withColumn("score",
+          GraftFunctions.cosineSimilarity(col("ea"), col("eb")))
+        .where(col("score") >= Threshold)
+        .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(lshOracleSql)
+  )
+
+  /** DuckDB mirror of q22, generated from the same plane constants. */
+  private def lshOracleSql: String = {
+    def planeSql(p: Array[Double]): String =
+      p.map(v => s"$v").mkString("[", ", ", "]")
+    def bandExpr(band: Int): String =
+      (0 until RowsPerBand).map { j =>
+        val p = planes(band * RowsPerBand + j)
+        s"(CASE WHEN list_dot_product(e, ${planeSql(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val bandCols = (0 until Bands)
+      .map(b => s"${bandExpr(b)} AS bk$b").mkString(", ")
+    val anyBand = (0 until Bands).map(b => s"a.bk$b = b.bk$b").mkString(" OR ")
+    s"""WITH sig AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       bk AS (SELECT vec_id, e, $bandCols FROM sig)
+       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(a.e, b.e), 6) AS score
+       FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyBand)
+       WHERE list_cosine_similarity(a.e, b.e) >= $Threshold
+       ORDER BY a_id, b_id"""
+  }
+
+  val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup)
+}
