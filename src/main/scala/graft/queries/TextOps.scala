@@ -1,0 +1,368 @@
+package graft.queries
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text analysis + deduplication over the `documents` fixture (doc_id,
+  * text, lang, source, n_chars) — the training-data-pipeline text surface
+  * from the brief: token counting, quality scoring, language ID, exact
+  * dedup, n-gram Jaccard, MinHash+LSH, SimHash, rolling-hash
+  * fingerprinting.
+  *
+  * Everything is pure `functions._` composition (codegen'd, no UDFs), and
+  * every query — including the MinHash/SimHash pipelines — carries DuckDB
+  * oracle SQL. Where a pipeline needs a shared deterministic string hash,
+  * both sides use the first 8 hex chars of md5 parsed to a BIGINT
+  * (`conv(substr(md5(s),1,8),16,10)` in Spark; an equivalent generated
+  * strpos-polynomial in DuckDB), so signatures are bit-identical across
+  * engines.
+  *
+  * Scale stance: each op is one scan plus hash-partitioned aggregations /
+  * equi-joins on bounded keys (doc_id, shingle-hash, band bucket) — no
+  * cross joins, no collects; at 100 TB the shuffles stay balanced because
+  * every key's cardinality is O(docs) or O(docs × shingles-per-doc).
+  */
+object TextOps {
+
+  // ---- shared deterministic hashing ------------------------------------
+
+  /** 32-bit string hash from the md5 hex prefix — Spark side. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Same 32-bit hash — DuckDB side (md5 hex prefix parsed via strpos
+    * polynomial; DuckDB has no conv()). `s` is a SQL expression string. */
+  private def h32Sql(s: String): String =
+    (1 to 8).map { i =>
+      val pow = math.pow(16, 8 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($s), $i, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** Polynomial "rolling" hash of a 4-char shingle (base 31, mod 1000003)
+    * — Spark side. */
+  private def rh4(c: Column): Column =
+    ((ascii(substring(c, 1, 1)) * lit(29791L)) +
+     (ascii(substring(c, 2, 1)) * lit(961L)) +
+     (ascii(substring(c, 3, 1)) * lit(31L)) +
+      ascii(substring(c, 4, 1)).cast("long")) % lit(1000003L)
+
+  /** Same polynomial hash — DuckDB side. */
+  private def rh4Sql(s: String): String =
+    s"((ascii(substr($s,1,1))*29791 + ascii(substr($s,2,1))*961 + " +
+      s"ascii(substr($s,3,1))*31 + ascii(substr($s,4,1))) % 1000003)"
+
+  /** Distinct char-4-gram shingles per doc — Spark side. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 3)).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 4)").as("s"))
+      .distinct()
+
+  /** Same shingle relation — DuckDB side (CTE body). */
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS s
+       FROM (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i
+             FROM documents)"""
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+    "on", "for", "with")
+
+  // ---- queries ---------------------------------------------------------
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (words / digit runs / single punctuation). */
+  val tokenCount = Q(
+    "q23_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_re_tokens"),
+          length(col("text")).cast("long").as("len"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_re_tokens,
+           CAST(length(text) AS BIGINT) AS len
+           FROM documents ORDER BY doc_id""")
+  )
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, composite
+    * score — the heuristic-filter stage of a data pipeline. */
+  val textQuality = Q(
+    "q24_text_quality",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+      val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
+      val len = length(col("text")).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(nTok, 6).as("n_tokens"),
+          round(punct / len, 6).as("punct_ratio"),
+          round(nStop / nTok, 6).as("stop_ratio"),
+          round(least(nTok / 100.0, lit(1.0)) * 0.4 +
+                (lit(1.0) - punct / len) * 0.3 +
+                least(nStop / nTok * 5.0, lit(1.0)) * 0.3, 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+            round(nt, 6) AS n_tokens,
+            round(pc / ln, 6) AS punct_ratio,
+            round(ns / nt, 6) AS stop_ratio,
+            round(least(nt / 100.0, 1.0) * 0.4 + (1.0 - pc / ln) * 0.3 +
+                  least(ns / nt * 5.0, 1.0) * 0.3, 6) AS quality
+            FROM (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+              CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t)))
+                AS DOUBLE) AS ns,
+              CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS pc,
+              CAST(length(text) AS DOUBLE) AS ln
+              FROM documents)
+            ORDER BY doc_id""")
+  )
+
+  /** Language ID by stopword-marker voting (n-gram heuristic family).
+    * Deterministic argmax with fixed priority order; all-zero → 'unknown'. */
+  val langId = Q(
+    "q25_lang_id",
+    (s, d) => {
+      val markers = Seq(
+        "en" -> Seq("the", "a", "of", "and", "is"),
+        "de" -> Seq("der", "die", "und", "ist", "das"),
+        "es" -> Seq("el", "la", "y", "que", "los"),
+        "fr" -> Seq("le", "les", "et", "des", "une"),
+        "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+      val toks = split(col("text"), " ")
+      val scores = markers.map { case (l, ms) =>
+        l -> size(filter(toks, t => t.isInCollection(ms))).cast("long")
+      }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      // first lang in declaration order with the max (non-zero) score wins
+      val guessOrdered = scores.reverse.foldLeft(lit("unknown")) {
+        case (acc, (l, sc)) => when(sc === best && best > 0, lit(l)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), guessOrdered.as("guessed_lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val markers = Seq(
+        "en" -> Seq("the", "a", "of", "and", "is"),
+        "de" -> Seq("der", "die", "und", "ist", "das"),
+        "es" -> Seq("el", "la", "y", "que", "los"),
+        "fr" -> Seq("le", "les", "et", "des", "une"),
+        "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+      val scoreCols = markers.map { case (l, ms) =>
+        s"CAST(len(list_filter(string_split(text, ' '), " +
+          s"t -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val best = s"greatest(${markers.map("s_" + _._1).mkString(", ")})"
+      val cases = markers.map { case (l, _) =>
+        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'unknown' END AS guessed_lang
+          FROM (SELECT doc_id, $scoreCols FROM documents)
+          ORDER BY doc_id"""
+    }
+  )
+
+  /** Exact deduplication: hash-groupBy on content digest; keeper = min id.
+    * (The fixture has no exact dups, so every group has cnt=1 — the
+    * pipeline is still verified value-for-value.) */
+  val exactDedup = Q(
+    "q26_exact_dedup",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper_id"))
+        .orderBy(col("keeper_id")),
+    Some("""SELECT md5(text) AS content_hash, count(*) AS cnt,
+           min(doc_id) AS keeper_id
+           FROM documents GROUP BY 1 ORDER BY keeper_id""")
+  )
+
+  /** N-gram Jaccard similarity between consecutive doc pairs (char
+    * 4-gram shingle sets, intersection-over-union via shingle equi-join).
+    * Exactness anchor for the MinHash estimate in q29. */
+  val ngramJaccard = Q(
+    "q27_ngram_jaccard",
+    (s, d) => {
+      val sh = shingles(Tables.documents(s, d)).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("a_id"), col("s"))
+        .join(sh.select((col("doc_id") - 1).as("a_id"), col("s")), Seq("a_id", "s"))
+        .groupBy(col("a_id")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select((col("doc_id") - 1).as("a_id"), col("n").as("nb")), Seq("a_id"))
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+        .orderBy(col("a_id"))
+    },
+    Some(s"""WITH sh AS ($shinglesSql),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS a_id, count(*) AS inter
+              FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+              GROUP BY 1)
+            SELECT i.a_id, i.a_id + 1 AS b_id,
+              round(CAST(inter AS DOUBLE) /
+                    CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+            FROM inter i
+            JOIN sizes na ON na.doc_id = i.a_id
+            JOIN sizes nb ON nb.doc_id = i.a_id + 1
+            ORDER BY a_id""")
+  )
+
+  // MinHash machinery: K hash functions (a_k·h + b_k) mod P over shingle
+  // hashes, deterministic seeds shared with the generated oracle SQL.
+  private val K = 16
+  private val Bands = 4
+  private val RowsPerBand = K / Bands
+  private val P = 2147483647L
+  private[queries] val minhashCoef: Array[(Long, Long)] = {
+    val rnd = new Random(777L)
+    Array.fill(K)((rnd.nextInt(1000000).toLong + 1, rnd.nextInt(1000000).toLong + 1))
+  }
+
+  /** Per-doc MinHash signature, exploded to (doc_id, k, mh) rows so the
+    * oracle compare is flat. */
+  val minhashSig = Q(
+    "q28_minhash_sig",
+    (s, d) => {
+      val sh = shingles(Tables.documents(s, d))
+        .select(col("doc_id"), h32(col("s")).as("hv"))
+      val aggs = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
+        min(pmod(lit(a) * col("hv") + lit(b), lit(P))).as(s"mh$k")
+      }
+      val m = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val pairs = (0 until K).flatMap(k => Seq(lit(k).cast("long"), col(s"mh$k")))
+      m.select(col("doc_id"), explode(map(pairs: _*)).as(Seq("k", "mh")))
+        .orderBy(col("doc_id"), col("k"))
+    },
+    Some {
+      val mhCols = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
+        s"min(($a * hv + $b) % $P) AS mh$k"
+      }.mkString(", ")
+      val unions = (0 until K).map { k =>
+        s"SELECT doc_id, CAST($k AS BIGINT) AS k, mh$k AS mh FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH sh AS ($shinglesSql),
+          hv AS (SELECT doc_id, ${h32Sql("s")} AS hv FROM sh),
+          m AS (SELECT doc_id, $mhCols FROM hv GROUP BY doc_id)
+          SELECT doc_id, k, mh FROM ($unions) ORDER BY doc_id, k"""
+    }
+  )
+
+  /** MinHash-LSH near-dup candidates: docs sharing at least one band of
+    * the signature, with the signature-estimated Jaccard attached. The
+    * join key is the banded signature — at scale this is the only shuffle
+    * and it is uniformly distributed. */
+  val minhashPairs = Q(
+    "q29_minhash_pairs",
+    (s, d) => {
+      val sh = shingles(Tables.documents(s, d))
+        .select(col("doc_id"), h32(col("s")).as("hv"))
+      val aggs = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
+        min(pmod(lit(a) * col("hv") + lit(b), lit(P))).as(s"mh$k")
+      }
+      val m = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
+      val banded = m.select(col("doc_id"),
+        posexplode(array((0 until Bands).map { b =>
+          concat_ws("_", (0 until RowsPerBand).map(j =>
+            col(s"mh${b * RowsPerBand + j}")): _*)
+        }: _*)).as(Seq("band", "bucket")))
+      val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+        .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+          Seq("band", "bucket"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val est = (0 until K).map(k =>
+        when(col(s"a.mh$k") === col(s"b.mh$k"), 1.0).otherwise(0.0))
+        .reduce(_ + _) / K.toDouble
+      cand
+        .join(m.as("a"), col("a_id") === col("a.doc_id"))
+        .join(m.as("b"), col("b_id") === col("b.doc_id"))
+        .select(col("a_id"), col("b_id"), round(est, 6).as("est_jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some {
+      val mhCols = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
+        s"min(($a * hv + $b) % $P) AS mh$k"
+      }.mkString(", ")
+      val anyBand = (0 until Bands).map { b =>
+        (0 until RowsPerBand).map(j => s"a.mh${b * RowsPerBand + j} = b.mh${b * RowsPerBand + j}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val est = (0 until K).map(k =>
+        s"(CASE WHEN a.mh$k = b.mh$k THEN 1.0 ELSE 0.0 END)").mkString(" + ")
+      s"""WITH sh AS ($shinglesSql),
+          hv AS (SELECT doc_id, ${h32Sql("s")} AS hv FROM sh),
+          m AS (SELECT doc_id, $mhCols FROM hv GROUP BY doc_id)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            round(($est) / $K.0, 6) AS est_jaccard
+          FROM m a JOIN m b ON a.doc_id < b.doc_id AND ($anyBand)
+          ORDER BY a_id, b_id"""
+    }
+  )
+
+  /** SimHash (32-bit) per doc over whitespace tokens (multiset-weighted):
+    * bit j of the signature = sign of Σ_tokens (±1 by token-hash bit j). */
+  val simhash = Q(
+    "q30_simhash",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), h32(col("t")).as("hv"))
+      val bitSums = (0 until 32).map(j =>
+        sum(shiftright(col("hv"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"bs$j"))
+      val sig = (0 until 32).map(j =>
+        when(col(s"bs$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      toks.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bitSums = (0 until 32).map(j =>
+        s"sum(((hv >> $j) & 1) * 2 - 1) AS bs$j").mkString(", ")
+      val sig = (0 until 32).map(j =>
+        s"(CASE WHEN bs$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          hv AS (SELECT doc_id, ${h32Sql("t")} AS hv FROM tok),
+          bs AS (SELECT doc_id, $bitSums FROM hv GROUP BY doc_id)
+          SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bs
+          ORDER BY doc_id"""
+    }
+  )
+
+  /** Rolling-hash fingerprints: polynomial hash of each char 4-gram,
+    * mod-sampled (h % 8 == 0) — winnowing-style content fingerprints. */
+  val fingerprint = Q(
+    "q31_fingerprint",
+    (s, d) =>
+      shingles(Tables.documents(s, d))
+        .select(col("doc_id"), rh4(col("s")).as("fp"))
+        .where(col("fp") % 8 === 0)
+        .distinct()
+        .orderBy(col("doc_id"), col("fp")),
+    Some(s"""SELECT DISTINCT doc_id, ${rh4Sql("s")} AS fp
+            FROM ($shinglesSql)
+            WHERE ${rh4Sql("s")} % 8 = 0
+            ORDER BY doc_id, fp""")
+  )
+
+  val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
+    ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint)
+}
