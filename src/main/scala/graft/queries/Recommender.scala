@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.expr.GraftFunctions
+import graft.rec.{AlsPipeline, Ratings}
+
+/** Recommender-core catalog (SURVEY §2.10, §3.1–3.3) over the synthesized
+  * ratings view (user = customer, item = part, rating ∈ {1..5}).
+  *
+  * q32 item-CF is the batch form of the reference's real-time item-based
+  * recommender (`/root/reference/src/streaming/streaming_rec.py:106-114`):
+  * item-item cosine over the user-item matrix, computed as a per-user
+  * self-join — the shuffle key is user_id, so the quadratic term is
+  * bounded by per-user degree, never by catalog size; this is the shape
+  * that survives 100 TB (plus a degree cap for power users if needed).
+  */
+object Recommender {
+
+  private def rview = Ratings.viewSql
+
+  /** Item-item cosine similarity top-50 (co-rated by ≥3 users). */
+  val itemCf = Q(
+    "q32_item_cf",
+    (s, d) => {
+      val r = Ratings.view(s, d).cache()
+      val norms = r.groupBy(col("item_id"))
+        .agg(sqrt(sum(col("rating") * col("rating"))).as("nrm"))
+      val co = r.select(col("user_id"), col("item_id").as("i"), col("rating").as("ri"))
+        .join(r.select(col("user_id"), col("item_id").as("j"), col("rating").as("rj")),
+          Seq("user_id"))
+        .where(col("i") < col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("ri") * col("rj")).as("dot"), count(lit(1)).as("n_common"))
+        .where(col("n_common") >= 3)
+      co.join(broadcast(norms.select(col("item_id").as("i"), col("nrm").as("ni"))), Seq("i"))
+        .join(broadcast(norms.select(col("item_id").as("j"), col("nrm").as("nj"))), Seq("j"))
+        .select(col("i"), col("j"), col("n_common"),
+          round(col("dot") / (col("ni") * col("nj")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("i"), col("j"))
+        .limit(50)
+    },
+    Some(s"""WITH r AS ($rview),
+            n AS (SELECT item_id, sqrt(sum(rating*rating)) AS nrm FROM r GROUP BY 1),
+            co AS (SELECT a.item_id AS i, b.item_id AS j,
+                     sum(a.rating*b.rating) AS dot, count(*) AS n_common
+                   FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+                   GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT i, j, n_common, round(dot / (ni.nrm * nj.nrm), 6) AS cos
+            FROM co JOIN n ni ON ni.item_id = i JOIN n nj ON nj.item_id = j
+            ORDER BY cos DESC, i, j LIMIT 50""")
+  )
+
+  /** A5 RMSE of the item-mean baseline predictor, via the typed RMSE
+    * Aggregator (graft.expr.RmseAggregator) — oracle is the SQL
+    * closed form. */
+  val rmseBaseline = Q(
+    "q33_rmse_baseline",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val r = Ratings.view(s, d)
+      val itemAvg = r.groupBy(col("item_id")).agg(avg(col("rating")).as("pred"))
+      r.join(itemAvg, Seq("item_id"))
+        .agg(round(call_function("rmse_agg", col("pred"), col("rating")), 6)
+          .as("rmse"))
+    },
+    Some(s"""WITH r AS ($rview),
+            ia AS (SELECT item_id, avg(rating) AS pred FROM r GROUP BY 1)
+            SELECT round(sqrt(avg(pow(r.rating - ia.pred, 2))), 6) AS rmse
+            FROM r JOIN ia ON r.item_id = ia.item_id""")
+  )
+
+  /** T6 per-user top-3 items by rating (windowed top-k on the ratings
+    * view — the serve-path ranking shape). */
+  val userTopk = Q(
+    "q34_user_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("rating").desc, col("item_id"))
+      Ratings.view(s, d)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("user_id"), col("item_id"), round(col("rating"), 6).as("rating"),
+                col("rank"))
+        .orderBy(col("user_id"), col("rank"))
+    },
+    Some(s"""SELECT user_id, item_id, round(rating, 6) AS rating, rank FROM (
+              SELECT user_id, item_id, rating,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY rating DESC, item_id) AS rank
+              FROM ($rview) r) t
+            WHERE rank <= 3 ORDER BY user_id, rank""")
+  )
+
+  /** A7 Precision@5 / Recall@5 of a popularity recommender against a
+    * deterministic holdout ((user+item) % 4 = 0), averaged over users
+    * with ≥1 holdout item (ref metric `src/csv/train_topn.py:112-145`). */
+  val precisionRecall = Q(
+    "q35_precision_recall",
+    (s, d) => {
+      val r = Ratings.view(s, d).cache()
+      val test = r.where((col("user_id") + col("item_id")) % 4 === 0)
+      val train = r.where((col("user_id") + col("item_id")) % 4 =!= 0)
+      val top5 = train.groupBy(col("item_id")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("item_id")).limit(5)
+        .select(col("item_id"))
+      val perUser = test.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_test"))
+      val hits = test.join(broadcast(top5), Seq("item_id"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("h"))
+      perUser.join(hits, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("h"), lit(0L)).as("h"), col("n_test"))
+        .agg(round(avg(col("h") / 5.0), 6).as("p_at_5"),
+             round(avg(col("h").cast("double") / col("n_test")), 6).as("r_at_5"))
+    },
+    Some(s"""WITH r AS ($rview),
+            test AS (SELECT * FROM r WHERE (user_id + item_id) % 4 = 0),
+            train AS (SELECT * FROM r WHERE (user_id + item_id) % 4 <> 0),
+            top5 AS (SELECT item_id FROM (
+              SELECT item_id, count(*) AS c FROM train GROUP BY 1
+              ORDER BY c DESC, item_id LIMIT 5)),
+            pu AS (SELECT user_id, count(*) AS n_test FROM test GROUP BY 1),
+            hits AS (SELECT t.user_id, count(*) AS h
+                     FROM test t JOIN top5 USING (item_id) GROUP BY 1)
+            SELECT round(avg(coalesce(h, 0) / 5.0), 6) AS p_at_5,
+                   round(avg(CAST(coalesce(h, 0) AS DOUBLE) / n_test), 6) AS r_at_5
+            FROM pu LEFT JOIN hits USING (user_id)""")
+  )
+
+  /** M4 capability — LightGCN-style 1-layer graph propagation (He et al.
+    * 2020, SIGIR; ref `/root/reference/src/csv/train_rmse.py:121`) of a
+    * deterministic item embedding (avg rating, degree) through the
+    * user-item bipartite graph with 1/sqrt(d_u·d_i) normalization,
+    * expressed purely as joins + aggregations — semantics, not gradient
+    * descent (SURVEY §7.4). */
+  val graphPropagation = Q(
+    "q36_graph_propagation",
+    (s, d) => {
+      val r = Ratings.view(s, d).cache()
+      val du = r.groupBy(col("user_id")).agg(count(lit(1)).as("du"))
+      val di = r.groupBy(col("item_id")).agg(count(lit(1)).as("di"))
+      val e0 = r.groupBy(col("item_id")).agg(
+        avg(col("rating")).as("f1"), count(lit(1)).cast("double").as("f2"))
+      val edges = r.join(broadcast(du), Seq("user_id"))
+        .join(broadcast(di), Seq("item_id"))
+        .select(col("user_id"), col("item_id"),
+          (lit(1.0) / sqrt(col("du") * col("di"))).as("w"))
+        .cache()
+      val eu = edges.join(e0, Seq("item_id"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("f1") * col("w")).as("f1"), sum(col("f2") * col("w")).as("f2"))
+      val e1 = edges.join(eu, Seq("user_id"))
+        .groupBy(col("item_id"))
+        .agg(round(sum(col("f1") * col("w")), 6).as("f1"),
+             round(sum(col("f2") * col("w")), 6).as("f2"))
+      e1.orderBy(col("item_id"))
+    },
+    Some(s"""WITH r AS ($rview),
+            du AS (SELECT user_id, count(*) AS du FROM r GROUP BY 1),
+            di AS (SELECT item_id, count(*) AS di FROM r GROUP BY 1),
+            e0 AS (SELECT item_id, avg(rating) AS f1,
+                     CAST(count(*) AS DOUBLE) AS f2 FROM r GROUP BY 1),
+            ed AS (SELECT r.user_id, r.item_id, 1.0 / sqrt(du.du * di.di) AS w
+                   FROM r JOIN du USING (user_id) JOIN di USING (item_id)),
+            eu AS (SELECT ed.user_id, sum(e0.f1 * ed.w) AS f1,
+                     sum(e0.f2 * ed.w) AS f2
+                   FROM ed JOIN e0 USING (item_id) GROUP BY 1)
+            SELECT ed.item_id, round(sum(eu.f1 * ed.w), 6) AS f1,
+                   round(sum(eu.f2 * ed.w), 6) AS f2
+            FROM ed JOIN eu USING (user_id)
+            GROUP BY 1 ORDER BY item_id""")
+  )
+
+  /** M1–M3 ALS end-to-end: train on the ratings view (seeded), recommend
+    * top-5 unseen items for users 0..19. Not SQL-expressible → rows-only
+    * driver check; quality is asserted in AlsSpec (RMSE band). */
+  val alsRecs = Q(
+    "q37_als_recs",
+    (s, d) => {
+      val r = Ratings.view(s, d).cache()
+      val model = AlsPipeline.fit(r)
+      val users = r.select(col("user_id")).where(col("user_id") < 20).distinct()
+      AlsPipeline.recommendTopK(model, r, users, 5)
+        .orderBy(col("user_id"), col("rank"))
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
+    graphPropagation, alsRecs)
+}

@@ -1,0 +1,37 @@
+package graft.rec
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("ALS trains on the ratings view and lands in a sane RMSE band") {
+    val r = Ratings.view(spark, sfDir).cache()
+    val Array(train, test) = r.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val model = AlsPipeline.fit(train)
+    val rmse = AlsPipeline.rmse(model, test)
+    // ratings are 1..5 with strong noise; anything in (0, 2.5) means the
+    // factorization actually fit signal (global-mean baseline ≈ 1.4).
+    assert(rmse > 0.0 && rmse < 2.5, s"rmse=$rmse out of band")
+  }
+
+  test("recommendTopK returns k unseen items per user, rank 1..k") {
+    val r = Ratings.view(spark, sfDir).cache()
+    val model = AlsPipeline.fit(r)
+    val users = r.select($"user_id").where($"user_id" < 5).distinct()
+    val recs = AlsPipeline.recommendTopK(model, r, users, 3).cache()
+    val perUser = recs.groupBy($"user_id").agg(
+      count(lit(1)).as("n"), max($"rank").as("maxr")).collect()
+    assert(perUser.nonEmpty)
+    perUser.foreach { row =>
+      assert(row.getLong(1) <= 3 && row.getLong(2) <= 3)
+    }
+    // no recommended item was already rated
+    val overlap = recs.join(r, Seq("user_id", "item_id"), "inner").count()
+    assert(overlap == 0L)
+  }
+}
