@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Batch queries over the `events` stream-shaped table (event_id, ts,
+  * user_id, event_type, value, props) — the SQL-checkable faces of the
+  * streaming operators (the incremental forms live in graft.stream and
+  * are exercised by StreamingSpec with MemoryStream).
+  *
+  * Monetary sums are carried as exact integer cents (`round(value*100)`)
+  * so Spark and DuckDB aggregate bit-identically regardless of order.
+  */
+object EventsQueries {
+
+  /** ST-windowing face: tumbling 1-hour event-time windows × event_type
+    * (Spark `window()`; oracle uses date_trunc — same aligned tumbling
+    * semantics). */
+  val eventsHourly = Q(
+    "q38_events_hourly",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+        .select(col("w.start").cast("long").as("ws"), col("event_type"),
+                col("n"), col("sum_cents"))
+        .orderBy(col("ws"), col("event_type")),
+    Some("""SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+           FROM events GROUP BY 1, 2 ORDER BY ws, event_type""")
+  )
+
+  /** Sessionization: per-user session count with a 30-minute inactivity
+    * gap (lag window over event time). */
+  val eventsSessions = Q(
+    "q39_events_sessions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000L,
+            1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+                       FROM events),
+           l AS (SELECT user_id,
+                   CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+                     IS NULL OR tu - lag(tu) OVER (PARTITION BY user_id
+                       ORDER BY tu, event_id) > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+                 FROM e)
+           SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                  count(*) AS n_events
+           FROM l GROUP BY 1 ORDER BY user_id""")
+  )
+
+  /** ST3 parse face: round-trip `"user event cents"` text lines through
+    * split/element_at/cast (F1/F2/F5) — the socket-line parse path with
+    * an oracle. */
+  val streamParse = Q(
+    "q40_stream_parse",
+    (s, d) => {
+      val lines = Tables.events(s, d)
+        .select(col("event_id"),
+          concat_ws(" ", col("user_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long")).as("value"))
+      val p = split(col("value"), " ")
+      lines.select(
+        col("event_id"),
+        element_at(p, 1).cast("long").as("user_id"),
+        element_at(p, 2).as("event_type"),
+        (element_at(p, 3).cast("long").cast("double") / 100.0).as("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH lines AS (
+             SELECT event_id,
+               concat(CAST(user_id AS VARCHAR), ' ', event_type, ' ',
+                      CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR)) AS v
+             FROM events)
+           SELECT event_id,
+             CAST(string_split(v, ' ')[1] AS BIGINT) AS user_id,
+             string_split(v, ' ')[2] AS event_type,
+             CAST(CAST(string_split(v, ' ')[3] AS BIGINT) AS DOUBLE) / 100.0 AS value
+           FROM lines ORDER BY event_id""")
+  )
+
+  val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse)
+}

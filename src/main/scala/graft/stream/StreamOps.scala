@@ -1,0 +1,109 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.expr.GraftFunctions
+
+/** One rating event on the stream (ref line format `"user_id movie_id
+  * rating timestamp"`, `/root/reference/src/streaming/streaming_rec.py:
+  * 180-188`). */
+case class RatingEvent(userId: Int, itemId: Int, rating: Double, ts: Long)
+
+/** Event enriched with the static item feature vector (stream-static join
+  * J1). */
+case class EnrichedEvent(userId: Int, itemId: Int, rating: Double, ts: Long,
+    features: Array[Double])
+
+/** Per-user interest state emitted after each micro-batch (ST5). */
+case class UserInterest(userId: Int, interest: Array[Double], nEvents: Long)
+
+/** Structured-Streaming re-expression of the reference's real-time
+  * recommender (`/root/reference/src/streaming/streaming_rec.py`, SURVEY
+  * §3.2): socket-line parse → stream-static join → per-user interest
+  * state → cosine top-N side output.
+  *
+  * The reference externalized per-user state to Neo4j and only processed
+  * the FIRST event of each micro-batch (`streaming_rec.py:92-104`, bug
+  * ST7); here state lives in Spark's state store via
+  * `flatMapGroupsWithState` and every event is folded in timestamp order.
+  * At cluster scale the state is hash-partitioned by user and the static
+  * feature side is broadcast — no external round trips anywhere.
+  */
+object StreamOps {
+
+  /** ST3: parse `"user item rating ts"` text lines (works on both batch
+    * and streaming DataFrames with a `value: string` column). */
+  def parseEvents(lines: DataFrame): Dataset[RatingEvent] = {
+    import lines.sparkSession.implicits._
+    val p = split(col("value"), " ")
+    lines.select(
+      element_at(p, 1).cast("int").as("userId"),
+      element_at(p, 2).cast("int").as("itemId"),
+      element_at(p, 3).cast("double").as("rating"),
+      element_at(p, 4).cast("long").as("ts"))
+      .as[RatingEvent]
+  }
+
+  /** ST4/J1: stream-static equi join on the item key; the static side is
+    * broadcast (small dimension). */
+  def enrich(events: Dataset[RatingEvent], itemFeatures: DataFrame): Dataset[EnrichedEvent] = {
+    import events.sparkSession.implicits._
+    events.join(broadcast(itemFeatures), Seq("itemId"), "inner")
+      .select(col("userId"), col("itemId"), col("rating"), col("ts"),
+        col("features"))
+      .as[EnrichedEvent]
+  }
+
+  /** F9 blend `U := (1-λr)·U + (λr)·T` (ref `streaming_rec.py:83-99`). */
+  def blend(u: Array[Double], t: Array[Double], r: Double,
+            lambda: Double): Array[Double] =
+    u.zip(t).map { case (uv, tv) => uv * (1 - lambda * r) + tv * (lambda * r) }
+
+  /** ST5: per-user mutable interest vector across micro-batches. Events
+    * within a batch fold in (ts, itemId) order; one `UserInterest` row is
+    * emitted per touched user per batch. */
+  def interestStream(enriched: Dataset[EnrichedEvent], dim: Int,
+                     lambda: Double = 0.05): Dataset[UserInterest] = {
+    import enriched.sparkSession.implicits._
+    enriched
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Int, rows: Iterator[EnrichedEvent], state: GroupState[(Array[Double], Long)]) =>
+          val (u0, n0) = state.getOption.getOrElse((Array.fill(dim)(0.0), 0L))
+          val batch = rows.toSeq.sortBy(e => (e.ts, e.itemId))
+          val u = batch.foldLeft(u0)((u, e) => blend(u, e.features, e.rating, lambda))
+          val n = n0 + batch.size
+          state.update((u, n))
+          Iterator.single(UserInterest(uid, u, n))
+      }
+  }
+
+  /** ST6: cosine top-N items for each user interest vector (used inside
+    * `foreachBatch` on the interest stream, or standalone in batch).
+    * Item side broadcasts; ranking is a per-user window. */
+  def topNForUsers(interests: DataFrame, itemFeatures: DataFrame, n: Int): DataFrame = {
+    GraftFunctions.register(interests.sparkSession)
+    val w = Window.partitionBy(col("userId"))
+      .orderBy(col("score").desc, col("itemId"))
+    interests.crossJoin(broadcast(itemFeatures))
+      .withColumn("score",
+        GraftFunctions.cosineSimilarity(col("interest"), col("features")))
+      .where(col("score").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= n)
+      .select(col("userId"), col("itemId"), col("rank"), col("score"))
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark (the natural
+    * extension the reference lacks, SURVEY §2.9 "Absent"). */
+  def windowedCounts(events: DataFrame, eventTimeCol: String,
+                     watermark: String, windowLen: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+}

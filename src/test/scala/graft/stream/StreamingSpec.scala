@@ -1,0 +1,123 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming semantics per SURVEY §2.9, driven deterministically with
+  * MemoryStream (ref smoke examples: `/root/reference/test/
+  * streaming_test.py` docstring transcripts are the golden outputs). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ST1/A1 word count matches the reference golden transcript") {
+    // ref test/streaming_test.py:40-53: lines of words → counts
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = in.toDF().withColumnRenamed("value", "line")
+      .withColumn("word", explode(split($"line", " ")))
+      .groupBy("word").count()
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("wc").start()
+    in.addData("apache spark", "apache hadoop")
+    q.processAllAvailable()
+    val got = spark.table("wc").as[(String, Long)].collect().toMap
+    assert(got == Map("apache" -> 2L, "spark" -> 1L, "hadoop" -> 1L))
+    // second batch accumulates (complete mode)
+    in.addData("spark streaming")
+    q.processAllAvailable()
+    val got2 = spark.table("wc").as[(String, Long)].collect().toMap
+    assert(got2 == Map("apache" -> 2L, "spark" -> 2L, "hadoop" -> 1L,
+      "streaming" -> 1L))
+    q.stop()
+  }
+
+  test("ST3 event parse matches the reference golden table") {
+    // ref test/streaming_test.py:107-139: "user movie rating ts" lines
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = StreamOps.parseEvents(in.toDF())
+    val q = parsed.writeStream.outputMode("append")
+      .format("memory").queryName("parsed").start()
+    in.addData("196 242 3.0 881250949", "186 302 3.0 891717742")
+    q.processAllAvailable()
+    val got = spark.table("parsed").as[RatingEvent].collect().sortBy(_.userId)
+    assert(got.toSeq == Seq(
+      RatingEvent(186, 302, 3.0, 891717742L),
+      RatingEvent(196, 242, 3.0, 881250949L)))
+    q.stop()
+  }
+
+  test("ST4+ST5 stream-static join and interest state follow the F9 recurrence") {
+    implicit val sc = spark.sqlContext
+    val lambda = 0.05
+    val features = Seq(
+      (1, Array(1.0, 0.0, 0.0)),
+      (2, Array(0.0, 1.0, 0.0)),
+      (3, Array(0.0, 0.0, 1.0))).toDF("itemId", "features")
+
+    val in = MemoryStream[String]
+    val interests = StreamOps.interestStream(
+      StreamOps.enrich(StreamOps.parseEvents(in.toDF()), features),
+      dim = 3, lambda = lambda)
+    val q = interests.writeStream.outputMode("append")
+      .format("memory").queryName("interest").start()
+
+    // batch 1: user 7 rates items 1 (r=4) then 2 (r=2); user 8 rates 3
+    in.addData("7 1 4.0 100", "7 2 2.0 200", "8 3 5.0 100")
+    q.processAllAvailable()
+    // batch 2: user 7 rates item 3 (r=5) — state must carry over
+    in.addData("7 3 5.0 300")
+    q.processAllAvailable()
+    q.stop()
+
+    val expected7 = {
+      val s0 = Array(0.0, 0.0, 0.0)
+      val s1 = StreamOps.blend(s0, Array(1.0, 0.0, 0.0), 4.0, lambda)
+      val s2 = StreamOps.blend(s1, Array(0.0, 1.0, 0.0), 2.0, lambda)
+      StreamOps.blend(s2, Array(0.0, 0.0, 1.0), 5.0, lambda)
+    }
+    val rows = spark.table("interest").as[UserInterest].collect()
+    val last7 = rows.filter(_.userId == 7).maxBy(_.nEvents)
+    assert(last7.nEvents == 3L)
+    last7.interest.zip(expected7).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12)
+    }
+    val u8 = rows.filter(_.userId == 8).maxBy(_.nEvents)
+    assert(u8.nEvents == 1L)
+    assert(math.abs(u8.interest(2) - 0.25) < 1e-12) // 0 + 0.05*5*1
+  }
+
+  test("ST6 cosine top-N side output ranks by interest alignment") {
+    val features = Seq(
+      (1, Array(1.0, 0.0)), (2, Array(0.0, 1.0)),
+      (3, Array(0.7071067811865476, 0.7071067811865476)))
+      .toDF("itemId", "features")
+    val interests = Seq((7, Array(1.0, 0.1))).toDF("userId", "interest")
+    val got = StreamOps.topNForUsers(interests, features, 2)
+      .select($"itemId", $"rank").as[(Int, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((1, 1L), (3, 2L)))
+  }
+
+  test("event-time tumbling window with watermark finalizes past windows") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[java.sql.Timestamp]
+    val agg = StreamOps.windowedCounts(
+      in.toDF().withColumnRenamed("value", "et"), "et", "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("windowed").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(ts("2024-01-01 10:05:00"), ts("2024-01-01 10:40:00"),
+               ts("2024-01-01 11:10:00"))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 and 11:00 windows
+    in.addData(ts("2024-01-01 15:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("windowed")
+      .select(date_format($"ws", "HH:mm").as("w"), $"n")
+      .as[(String, Long)].collect().toMap
+    assert(got("10:00") == 2L && got("11:00") == 1L)
+  }
+}
