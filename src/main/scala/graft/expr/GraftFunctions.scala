@@ -18,9 +18,19 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_shingles",
+      exprs => CharShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
     spark.udf.register("rmse_agg",
       udaf(RmseAggregator, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
   }
+
+  /** One-pass character k-gram shingling (see [[CharShingles]]); requires
+    * [[register]] on the session first. */
+  def charShingles(text: Column, k: Int): Column =
+    call_function("char_shingles", text, lit(k))
 
   /** Native cosine similarity (see [[CosineSimilarity]]); requires
     * [[register]] on the session first. */

@@ -56,11 +56,16 @@ object TextOps {
       s"ascii(substr($s,3,1))*31 + ascii(substr($s,4,1))) % 1000003)"
 
   /** Distinct char-4-gram shingles per doc — Spark side. */
+  /** All char-4-gram shingle occurrences (multiset — no shuffle; one-pass
+    * via the char_shingles expression). */
+  private def rawShingles(docs: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(graft.expr.GraftFunctions.charShingles(col("text"), 4)).as("s"))
+  }
+
   private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 3)).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 4)").as("s"))
-      .distinct()
+    rawShingles(docs).distinct()
 
   /** Same shingle relation — DuckDB side (CTE body). */
   private val shinglesSql: String =
@@ -240,7 +245,9 @@ object TextOps {
   val minhashSig = Q(
     "q28_minhash_sig",
     (s, d) => {
-      val sh = shingles(Tables.documents(s, d))
+      // min() is insensitive to duplicates, so the distinct-shingle shuffle
+      // is skipped entirely: hash every occurrence, aggregate directly.
+      val sh = rawShingles(Tables.documents(s, d))
         .select(col("doc_id"), h32(col("s")).as("hv"))
       val aggs = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
         min(pmod(lit(a) * col("hv") + lit(b), lit(P))).as(s"mh$k")
@@ -271,7 +278,7 @@ object TextOps {
   val minhashPairs = Q(
     "q29_minhash_pairs",
     (s, d) => {
-      val sh = shingles(Tables.documents(s, d))
+      val sh = rawShingles(Tables.documents(s, d))
         .select(col("doc_id"), h32(col("s")).as("hv"))
       val aggs = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
         min(pmod(lit(a) * col("hv") + lit(b), lit(P))).as(s"mh$k")
@@ -352,7 +359,10 @@ object TextOps {
   val fingerprint = Q(
     "q31_fingerprint",
     (s, d) =>
-      shingles(Tables.documents(s, d))
+      // hash + mod-filter BEFORE the distinct: the shuffle then carries
+      // ~1/8 of the rows as (long, long) pairs instead of every shingle
+      // string — the order-of-magnitude win at 100 TB.
+      rawShingles(Tables.documents(s, d))
         .select(col("doc_id"), rh4(col("s")).as("fp"))
         .where(col("fp") % 8 === 0)
         .distinct()

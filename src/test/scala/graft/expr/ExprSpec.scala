@@ -87,6 +87,25 @@ class ExprSpec extends SparkSpec {
     assert(got.forall(v => v.length == vocab.length && v.forall(x => x == 0 || x == 1)))
   }
 
+  test("charShingles emits every overlapping k-gram in one pass") {
+    GraftFunctions.register(spark)
+    val got = Seq("abcdef", "abc", "ab", "")
+      .toDF("t")
+      .select(GraftFunctions.charShingles($"t", 4).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("abcd", "bcde", "cdef"))
+    assert(got(1) == Seq.empty) // len < k
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq.empty)
+    // parity with the substring composition it replaces
+    val text = "the quick brown fox jumps"
+    val viaExpr = Seq(text).toDF("t")
+      .select(explode(GraftFunctions.charShingles($"t", 4)).as("s"))
+      .as[String].collect().toSeq
+    val expected = (0 to text.length - 4).map(i => text.substring(i, i + 4))
+    assert(viaExpr == expected)
+  }
+
   test("RmseAggregator matches closed form and the SQL one-liner") {
     val rnd = new Random(11)
     val rows = Seq.fill(500)((rnd.nextDouble() * 5, rnd.nextDouble() * 5))
