@@ -1,0 +1,90 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.GraftFunctions
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpFile(name: String, lines: String*): String = {
+    val dir = Files.createTempDirectory("graft-io")
+    val f = dir.resolve(name)
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("S1 headerless TSV ratings parse with declared schema (u.data)") {
+    // example row from FIXTURES.md §1 / ref doc/课程报告.md:343-345
+    val p = tmpFile("u.data",
+      "196\t242\t3\t881250949",
+      "186\t302\t3\t891717742",
+      "22\t377\t1\t878887116")
+    val df = MovieLens.readRatingsTsv(spark, p)
+    // CSV sources force nullable=true; names and types are the contract
+    assert(df.schema.map(f => (f.name, f.dataType)) ==
+      MovieLens.ratingSchema.map(f => (f.name, f.dataType)))
+    val rows = df.as[(Int, Int, Double, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((22, 377, 1.0, 878887116L),
+      (186, 302, 3.0, 891717742L), (196, 242, 3.0, 881250949L)))
+  }
+
+  test("S9 ::-separated ratings.dat and movies.dat parse; genres split + multi-hot") {
+    val r = MovieLens.readRatingsDat(spark,
+      tmpFile("ratings.dat", "1::1193::5::978300760"))
+      .as[(Int, Int, Double, Long)].head()
+    assert(r == ((1, 1193, 5.0, 978300760L)))
+
+    val m = MovieLens.readMoviesDat(spark,
+      tmpFile("movies.dat", "1::Toy Story (1995)::Animation|Children|Comedy"))
+    val genres = m.select(MovieLens.genresArray($"genres")).as[Seq[String]].head()
+    assert(genres == Seq("Animation", "Children", "Comedy"))
+    val hot = m.select(
+      GraftFunctions.multiHot($"genres", MovieLens.genreVocab).as("v"))
+      .as[Seq[Int]].head()
+    assert(hot.sum == 3 && hot.length == 18)
+    assert(hot(MovieLens.genreVocab.indexOf("Animation")) == 1)
+    assert(hot(MovieLens.genreVocab.indexOf("Western")) == 0)
+  }
+
+  test("S10 crawler ::-CSV with header parses") {
+    val df = MovieLens.readCrawlerCsv(spark,
+      tmpFile("scores.csv", "people::movie_name::score",
+        "Roger E.::Eternal Sunshine::4.5"))
+    assert(df.columns.toSeq == Seq("people", "movie_name", "score"))
+    assert(df.count() == 1)
+  }
+
+  test("J4/Q8 upsert: update wins, unmatched rows survive, idempotent") {
+    val existing = Seq((1, 10, 0.5), (1, 11, 0.4), (2, 10, 0.9))
+      .toDF("user_id", "item_id", "score")
+    val updates = Seq((1, 10, 0.8), (3, 12, 0.7))
+      .toDF("user_id", "item_id", "score")
+    val keys = Seq("user_id", "item_id")
+    val once = Upsert.merge(existing, updates, keys)
+    val got = once.as[(Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((1, 10, 0.8), (1, 11, 0.4), (2, 10, 0.9), (3, 12, 0.7)))
+    val twice = Upsert.merge(once, updates, keys)
+      .as[(Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(twice.toSeq == got.toSeq)
+  }
+
+  test("Q8 delete-for-users drops only the targeted users' recs") {
+    val recs = Seq((1, 10, 0.5), (2, 11, 0.4), (3, 12, 0.3))
+      .toDF("user_id", "item_id", "score")
+    val left = Upsert.deleteForUsers(recs, Seq(1, 3))
+      .as[(Int, Int, Double)].collect()
+    assert(left.toSeq == Seq((2, 11, 0.4)))
+  }
+
+  test("S7 parquet write + read-back round trip") {
+    val dir = Files.createTempDirectory("graft-pq").resolve("t").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[(Int, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1, "a"), (2, "b")))
+  }
+}
