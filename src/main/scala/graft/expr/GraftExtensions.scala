@@ -1,0 +1,27 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` entry point: makes the engine's native
+  * expressions first-class SQL functions in any session built with
+  * `--conf spark.sql.extensions=graft.expr.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), with no per-session
+  * `register()` call. The imperative `GraftFunctions.register` remains
+  * for sessions the engine doesn't construct.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("char_shingles"),
+      new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+      (exprs: Seq[Expression]) =>
+        CharShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+  }
+}

@@ -9,12 +9,14 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // exercise the SparkSessionExtensions path: native functions are
+      // injected at session build, no imperative register() here
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    expr.GraftFunctions.register(s)
     s
   }
 }
