@@ -93,5 +93,25 @@ object EventsQueries {
            FROM lines ORDER BY event_id""")
   )
 
-  val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse)
+  /** Semi-structured payload extraction: pull `$.k` out of the JSON
+    * `props` column and aggregate — the JSON face the reference never had
+    * (its props-like payloads were packed strings, SURVEY §1.2). */
+  val jsonExtract = Q(
+    "q43_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           FROM events GROUP BY 1 ORDER BY event_type""")
+  )
+
+  val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse, jsonExtract)
 }

@@ -89,6 +89,23 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(u8.interest(2) - 0.25) < 1e-12) // 0 + 0.05*5*1
   }
 
+  test("F4 sentence shuffle preserves the token multiset (ref streaming_test.py:69-104)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val shuffled = in.toDF()
+      .select(split($"value", " ").as("toks"))
+      .select(shuffle($"toks").as("shuffled"), $"toks")
+    val q = shuffled.writeStream.outputMode("append")
+      .format("memory").queryName("shuf").start()
+    in.addData("the quick brown fox", "jumps over the lazy dog")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("shuf")
+      .as[(Seq[String], Seq[String])].collect()
+    assert(rows.length == 2)
+    rows.foreach { case (sh, orig) => assert(sh.sorted == orig.sorted) }
+  }
+
   test("ST6 cosine top-N side output ranks by interest alignment") {
     val features = Seq(
       (1, Array(1.0, 0.0)), (2, Array(0.0, 1.0)),
