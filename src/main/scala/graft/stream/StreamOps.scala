@@ -81,6 +81,21 @@ object StreamOps {
       }
   }
 
+  /** ST5 on Spark 4's `transformWithState` (the successor API to
+    * `flatMapGroupsWithState`; requires the RocksDB state store provider):
+    * same F9 fold, state in a typed `ValueState`. Kept alongside the
+    * fMGWS version so both state APIs are exercised.
+    */
+  def interestStreamTws(enriched: Dataset[EnrichedEvent], dim: Int,
+                        lambda: Double = 0.05): Dataset[UserInterest] = {
+    import enriched.sparkSession.implicits._
+    enriched
+      .groupByKey(_.userId)
+      .transformWithState(new InterestProcessor(dim, lambda),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** ST6: cosine top-N items for each user interest vector (used inside
     * `foreachBatch` on the interest stream, or standalone in batch).
     * Item side broadcasts; ranking is a per-user window. */

@@ -117,6 +117,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 1L), (3, 2L)))
   }
 
+  test("ST5 transformWithState variant matches the fMGWS recurrence") {
+    implicit val sc = spark.sqlContext
+    val lambda = 0.05
+    val features = Seq((1, Array(1.0, 0.0)), (2, Array(0.0, 1.0)))
+      .toDF("itemId", "features")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[String]
+    val interests = StreamOps.interestStreamTws(
+      StreamOps.enrich(StreamOps.parseEvents(in.toDF()), features),
+      dim = 2, lambda = lambda)
+    val q = interests.writeStream.outputMode("append")
+      .format("memory").queryName("interest_tws")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws-ckpt").toString)
+      .start()
+    in.addData("7 1 4.0 100")
+    q.processAllAvailable()
+    in.addData("7 2 2.0 200")
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val expected = StreamOps.blend(
+      StreamOps.blend(Array(0.0, 0.0), Array(1.0, 0.0), 4.0, lambda),
+      Array(0.0, 1.0), 2.0, lambda)
+    val last = spark.table("interest_tws").as[UserInterest].collect()
+      .filter(_.userId == 7).maxBy(_.nEvents)
+    assert(last.nEvents == 2L)
+    last.interest.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12)
+    }
+  }
+
   test("event-time tumbling window with watermark finalizes past windows") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[java.sql.Timestamp]
