@@ -40,18 +40,16 @@ object Similarity {
 
   private def emb(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bands",
+      exprs => graft.expr.HyperplaneBands(exprs.head, planes, Bands, RowsPerBand),
+      "built-in")
     Tables.embeddings(s, d)
   }
 
-  private def planeLit(p: Array[Double]): Column =
-    array(p.map(lit): _*)
-
-  /** Sign-bit bucket of one band (r planes packed into an int). */
-  private def bandBucket(e: Column, band: Int): Column =
-    (0 until RowsPerBand).map { j =>
-      val p = planes(band * RowsPerBand + j)
-      (GraftFunctions.dotProduct(e, planeLit(p)) > 0).cast("int") * lit(1 << j)
-    }.reduce(_ + _)
+  /** All band buckets in one pass (see [[graft.expr.HyperplaneBands]]). */
+  private def bandBuckets(e: Column): Column =
+    call_function("hyperplane_bands", e)
 
   /** Brute-force cosine top-5 neighbors for probes vec_id<10 (SURVEY-brief
     * ANN baseline). Probe side broadcasts; candidate scan streams once —
@@ -126,8 +124,7 @@ object Similarity {
     (s, d) => {
       val e = emb(s, d)
       val sig = e.select(
-        col("vec_id"), col("embedding"),
-        array((0 until Bands).map(bandBucket(col("embedding"), _)): _*).as("bks"))
+        col("vec_id"), col("embedding"), bandBuckets(col("embedding")).as("bks"))
       val exploded = sig.select(
         col("vec_id"), col("embedding"),
         posexplode(col("bks")).as(Seq("band", "bucket")))
