@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** OLAP-analytics extension catalog: hierarchy rollups, statistical and
+  * percentile aggregates, calendar breakdowns, set operators, pivot,
+  * running window frames, embedding centroids, and blocked fuzzy matching
+  * — standard engine surface beyond the reference's own workload, all
+  * oracle-checked.
+  *
+  * Monetary sums ride as exact integer cents; percentile interpolation
+  * on integer-valued doubles is arithmetic-identical across engines.
+  */
+object Analytics {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** ROLLUP over the region→nation hierarchy with explicit NULLS FIRST
+    * ordering so subtotal rows land identically. */
+  val rollupStats = Q(
+    "q44_rollup_stats",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey"), col("c_acctbal"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+    },
+    Some("""SELECT r_name AS region, n_name AS nation, count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY ROLLUP (r_name, n_name)
+           ORDER BY region NULLS FIRST, nation NULLS FIRST""")
+  )
+
+  /** Statistical aggregates per group: sample stddev/variance (exact on
+    * integer-valued quantities) and price–quantity correlation. */
+  val statAggs = Q(
+    "q45_stat_aggs",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+             round(var_samp(col("l_quantity")), 6).as("var_qty"),
+             round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+           FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")
+  )
+
+  /** Exact interpolated quartiles of quantity per return flag (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`). */
+  val percentiles = Q(
+    "q46_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+             round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+             round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75
+           FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")
+  )
+
+  /** Calendar breakdown: order volume and revenue by year × month. */
+  val dateParts = Q(
+    "q47_date_parts",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+                 month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy(col("y"), col("m")),
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+           FROM orders GROUP BY 1, 2 ORDER BY y, m""")
+  )
+
+  /** INTERSECT: customers active in both 1995 and 1996. */
+  val intersectYears = Q(
+    "q48_intersect_years",
+    (s, d) => {
+      def active(yr: Int) = Tables.orders(s, d)
+        .where(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey").as("cust_id"))
+      active(1995).intersect(active(1996)).orderBy(col("cust_id"))
+    },
+    Some("""SELECT o_custkey AS cust_id FROM orders WHERE year(o_orderdate) = 1995
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           ORDER BY cust_id""")
+  )
+
+  /** EXCEPT: customers active in 1995 but not 1996. */
+  val exceptYears = Q(
+    "q49_except_years",
+    (s, d) => {
+      def active(yr: Int) = Tables.orders(s, d)
+        .where(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey").as("cust_id"))
+      active(1995).except(active(1996)).orderBy(col("cust_id"))
+    },
+    Some("""SELECT o_custkey AS cust_id FROM orders WHERE year(o_orderdate) = 1995
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           ORDER BY cust_id""")
+  )
+
+  /** Pivot: revenue cents by line status × return flag (fixed pivot
+    * columns; oracle uses the equivalent conditional aggregation). */
+  val pivotFlags = Q(
+    "q50_pivot_flags",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(coalesce(sum(cents(col("l_extendedprice"))), lit(0L)))
+        .orderBy(col("l_linestatus")),
+    Some("""SELECT l_linestatus,
+           CAST(coalesce(sum(CASE WHEN l_returnflag = 'A'
+             THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS "A",
+           CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+             THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS "N",
+           CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+             THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS "R"
+           FROM lineitem GROUP BY 1 ORDER BY l_linestatus""")
+  )
+
+  /** Running window frame: cumulative order count and revenue per
+    * customer in order-date order (rowsBetween unbounded→current). */
+  val runningTotals = Q(
+    "q51_running_totals",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey").as("cust_id"), col("o_orderkey").as("order_id"),
+          count(lit(1)).over(w).as("running_n"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+        .orderBy(col("cust_id"), col("order_id"))
+    },
+    Some("""SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+           count(*) OVER w AS running_n,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+             AS running_cents
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY cust_id, order_id""")
+  )
+
+  /** Per-label embedding centroid, one row per (label, dimension) — the
+    * vector-aggregation face of the similarity stack. */
+  val labelCentroids = Q(
+    "q52_label_centroids",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("v")), 6).as("centroid"))
+        .orderBy(col("label"), col("dim")),
+    Some("""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+           round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS centroid
+           FROM (SELECT label, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)
+           GROUP BY 1, 2 ORDER BY label, dim""")
+  )
+
+  /** Blocked fuzzy matching: near-identical part names by edit distance
+    * within (brand, size) blocks — the classic blocking+verify dedup
+    * join shape (no cross join; block keys bound the quadratic term). */
+  val fuzzyNames = Q(
+    "q53_fuzzy_names",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      val a = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("a_id"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("b_id"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .where(col("dist") <= 5)
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+           FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 5
+           ORDER BY a_id, b_id""")
+  )
+
+  val all: Seq[Q] = Seq(rollupStats, statAggs, percentiles, dateParts,
+    intersectYears, exceptYears, pivotFlags, runningTotals, labelCentroids,
+    fuzzyNames)
+}
