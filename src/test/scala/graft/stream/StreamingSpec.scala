@@ -151,6 +151,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ST6+J4 end-to-end: foreachBatch scores top-N and upserts the recs table") {
+    implicit val sc = spark.sqlContext
+    val features = Seq(
+      (1, Array(1.0, 0.0)), (2, Array(0.0, 1.0)), (3, Array(0.6, 0.8)))
+      .toDF("itemId", "features")
+    val in = MemoryStream[String]
+    val interests = StreamOps.interestStream(
+      StreamOps.enrich(StreamOps.parseEvents(in.toDF()), features),
+      dim = 2, lambda = 0.05)
+    // the recommendations "table" maintained across micro-batches via
+    // MERGE semantics keyed on (userId, rank) — ref §3.2 shape end to end
+    var recs = Seq.empty[(Int, Int, Long)].toDF("userId", "itemId", "rank")
+    val q = interests.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserInterest], _: Long) =>
+        val topn = StreamOps.topNForUsers(batch.toDF(), features, 2)
+          .select(col("userId"), col("itemId"), col("rank"))
+        recs = graft.io.Upsert.merge(recs, topn, Seq("userId", "rank"))
+          .localCheckpoint(true) // pin: batch DataFrames die with the batch
+        ()
+      }.start()
+    def snapshot() = recs.select($"userId", $"itemId", $"rank")
+      .as[(Int, Int, Long)].collect().sortBy(_._3)
+    in.addData("7 1 5.0 100") // interest → item 1 direction
+    q.processAllAvailable()
+    val round1 = snapshot()
+    in.addData("7 2 5.0 200", "7 2 5.0 300") // interest swings to item 2
+    q.processAllAvailable()
+    q.stop()
+    val round2 = snapshot()
+    assert(round1.head == ((7, 1, 1L))) // rank-1 rec was item 1
+    assert(round2.head == ((7, 2, 1L))) // upsert replaced it with item 2
+    assert(round2.length == 2)          // still exactly k slots per user
+  }
+
+  test("stream-stream join matches clicks to impressions within the time bound") {
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imp = MemoryStream[(Int, java.sql.Timestamp)]
+    val clk = MemoryStream[(Int, java.sql.Timestamp)]
+    val impDF = imp.toDF().toDF("imp_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+    val clkDF = clk.toDF().toDF("clk_id", "clk_ts").withWatermark("clk_ts", "10 minutes")
+    val joined = impDF.join(clkDF, expr(
+      "imp_id = clk_id AND clk_ts BETWEEN imp_ts AND imp_ts + interval 10 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    imp.addData((1, ts("2024-01-01 10:00:00")), (2, ts("2024-01-01 10:00:00")))
+    clk.addData((1, ts("2024-01-01 10:05:00")),  // within bound → joins
+                (2, ts("2024-01-01 10:30:00")))  // too late → dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj").select($"imp_id").as[Int].collect()
+    assert(got.toSeq == Seq(1))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed events") {
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Int, java.sql.Timestamp)]
+    val deduped = in.toDF().toDF("id", "et")
+      .withWatermark("et", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    in.addData((1, ts("2024-01-01 10:00:00")), (2, ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    in.addData((1, ts("2024-01-01 10:02:00"))) // replay within watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup").select($"id").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2))
+  }
+
   test("event-time tumbling window with watermark finalizes past windows") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[java.sql.Timestamp]
