@@ -217,7 +217,22 @@ object Analytics {
            ORDER BY a_id, b_id""")
   )
 
+  /** Multi-column DISTINCT aggregation (Expand-based plan) per group. */
+  val distinctCounts = Q(
+    "q54_distinct_counts",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+           FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(rollupStats, statAggs, percentiles, dateParts,
     intersectYears, exceptYears, pivotFlags, runningTotals, labelCentroids,
-    fuzzyNames)
+    fuzzyNames, distinctCounts)
 }
