@@ -113,5 +113,26 @@ object EventsQueries {
            FROM events GROUP BY 1 ORDER BY event_type""")
   )
 
-  val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse, jsonExtract)
+  /** Sliding event-time windows (1 h long, 30 min slide): every event
+    * lands in two overlapping windows (Spark `window(ts, len, slide)`;
+    * oracle unnests the two covering window starts per event). */
+  val eventsSliding = Q(
+    "q55_events_sliding",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("ws"), col("n"))
+        .orderBy(col("ws")),
+    Some("""SELECT CAST(epoch(ws) AS BIGINT) AS ws, count(*) AS n FROM (
+             SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL '30 minutes']) AS ws
+             FROM events)
+           GROUP BY 1 ORDER BY ws""")
+  )
+
+  val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse, jsonExtract,
+    eventsSliding)
 }

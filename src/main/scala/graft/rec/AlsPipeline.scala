@@ -32,6 +32,26 @@ object AlsPipeline {
       .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
       .evaluate(model.transform(holdout).na.drop())
 
+  /** F13 explicit serve path (ref `doc/课程报告.md:762-765` û = u·vᵀ;
+    * SURVEY §3.3): score (user, item) pairs by joining the model's factor
+    * tables and taking the array dot product — the same number MLlib's
+    * `transform` produces, but as a plain relational plan over factor
+    * DataFrames, so any downstream operator (anti-join, window top-k,
+    * upsert) composes with it. */
+  def scoreExplicit(model: ALSModel, pairs: DataFrame): DataFrame = {
+    val uf = model.userFactors.select(col("id").as("user_id"),
+      col("features").as("uf"))
+    val itf = model.itemFactors.select(col("id").as("item_id"),
+      col("features").as("if"))
+    pairs
+      .join(uf, Seq("user_id"))
+      .join(broadcast(itf), Seq("item_id"))
+      .withColumn("score",
+        graft.expr.GraftFunctions.dotProduct(col("uf"), col("if"))
+          .cast("float"))
+      .drop("uf", "if")
+  }
+
   /** Top-k recommendations for a user subset, excluding already-rated
     * items via left-anti join (P7). Output: user_id, item_id, rank. */
   def recommendTopK(model: ALSModel, ratings: DataFrame, users: DataFrame,

@@ -19,6 +19,22 @@ class AlsSpec extends SparkSpec {
     assert(rmse > 0.0 && rmse < 2.5, s"rmse=$rmse out of band")
   }
 
+  test("explicit factor dot-product scoring matches model.transform") {
+    val r = Ratings.view(spark, sfDir).cache()
+    val model = AlsPipeline.fit(r, rank = 4, maxIter = 3)
+    val sample = r.select($"user_id", $"item_id").limit(50)
+    val viaTransform = model.transform(sample)
+      .select($"user_id", $"item_id", $"prediction")
+      .as[(Long, Long, Float)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    val viaExplicit = AlsPipeline.scoreExplicit(model, sample)
+      .select($"user_id", $"item_id", $"score")
+      .as[(Long, Long, Float)].collect()
+    assert(viaExplicit.nonEmpty)
+    viaExplicit.foreach { case (u, i, s) =>
+      assert(math.abs(s - viaTransform((u, i))) < 1e-4f)
+    }
+  }
+
   test("recommendTopK returns k unseen items per user, rank 1..k") {
     val r = Ratings.view(spark, sfDir).cache()
     val model = AlsPipeline.fit(r)
