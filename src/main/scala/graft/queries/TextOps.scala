@@ -373,6 +373,51 @@ object TextOps {
             ORDER BY doc_id, fp""")
   )
 
+  /** Word-trigram Jaccard between consecutive doc pairs (the token-level
+    * twin of q27's char shingles; same intersection-over-union join). */
+  val wordNgramJaccard = Q(
+    "q56_word_ngram_jaccard",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          // guard: sequence(1,0) would descend, not be empty
+          explode(expr("""CASE WHEN size(toks) < 3 THEN array()
+            ELSE transform(sequence(1, size(toks) - 2),
+              i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) END""")).as("s"))
+        .distinct()
+        .cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("a_id"), col("s"))
+        .join(sh.select((col("doc_id") - 1).as("a_id"), col("s")), Seq("a_id", "s"))
+        .groupBy(col("a_id")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select((col("doc_id") - 1).as("a_id"), col("n").as("nb")), Seq("a_id"))
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+        .orderBy(col("a_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                        || ' ' || toks[CAST(i AS INT) + 2])) AS s
+                  FROM t),
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id AS a_id, count(*) AS inter
+                     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+                     GROUP BY 1)
+           SELECT i.a_id, i.a_id + 1 AS b_id,
+             round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6)
+               AS jaccard
+           FROM inter i JOIN sizes na ON na.doc_id = i.a_id
+           JOIN sizes nb ON nb.doc_id = i.a_id + 1
+           ORDER BY a_id""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
-    ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint)
+    ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
+    wordNgramJaccard)
 }
