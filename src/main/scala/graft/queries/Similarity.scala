@@ -167,5 +167,54 @@ object Similarity {
        ORDER BY a_id, b_id"""
   }
 
-  val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup)
+  /** IVF-style ANN: a deterministic coarse quantizer (sign grid over the
+    * first 8 dimensions → 256 cells) partitions the index; each probe
+    * searches only its own cell. The inverted-file shape at scale: the
+    * index is hash-partitioned by cell, a probe touches one partition
+    * instead of the whole collection. (A learned k-means quantizer drops
+    * in for the sign grid without changing the plan.) */
+  val ivfAnn = Q(
+    "q57_ivf_ann",
+    (s, d) => {
+      val e = emb(s, d)
+      def cell(c: Column): Column =
+        (0 until 8).map(i =>
+          (element_at(c, i + 1) > 0).cast("int") * lit(1 << i)).reduce(_ + _)
+      val indexed = e.select(col("vec_id"), col("embedding"),
+        cell(col("embedding")).as("cell"))
+      val probes = indexed.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("cell"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      indexed.select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce"))
+        .join(broadcast(probes), Seq("cell"))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          GraftFunctions.cosineSimilarity(col("pe"), col("ce")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some {
+      val cellSql = (0 until 8).map(i =>
+        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH idx AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             $cellSql AS cell FROM embeddings)
+          SELECT probe_id, neighbor_id, rank, round(score, 6) AS score FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+              list_cosine_similarity(p.e, c.e) AS score,
+              row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                list_cosine_similarity(p.e, c.e) DESC, c.vec_id) AS rank
+            FROM idx p JOIN idx c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+            WHERE p.vec_id < 10) t
+          WHERE rank <= 3 ORDER BY probe_id, rank"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn)
 }

@@ -68,6 +68,16 @@ class MiscRecSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 0L))
   }
 
+  test("k-means clusters embeddings deterministically under a seed") {
+    val a = Clustering.clusterEmbeddings(spark, sfDir, k = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(a.length == 500)
+    assert(a.map(_._3).distinct.length == 8)
+    val b = Clustering.clusterEmbeddings(spark, sfDir, k = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("M7 ALS model persistence round trip preserves predictions") {
     val r = Ratings.view(spark, sfDir).cache()
     val model = AlsPipeline.fit(r, rank = 4, maxIter = 2)
