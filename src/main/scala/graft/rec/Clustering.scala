@@ -1,7 +1,7 @@
 package graft.rec
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,10 +16,9 @@ object Clustering {
 
   def clusterEmbeddings(s: SparkSession, d: String, k: Int = 10,
                         seed: Long = 42L): DataFrame = {
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
     val df = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toVec(col("embedding")).as("features"))
+      .select(col("vec_id"), col("label"),
+        array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(df)
     model.transform(df)
       .select(col("vec_id"), col("label").cast("long").as("label"),
