@@ -12,12 +12,15 @@ import graft.expr.GraftFunctions
 /** Similarity search over the `embeddings` fixture (vec_id, embedding:
   * array<float> dim 64, label) — the training-data-pipeline ANN surface.
   *
-  * Three tiers:
+  * Four tiers:
   *  - brute-force cosine top-k for a probe set (baseline; exact);
   *  - all-pairs threshold near-dup (exact; quadratic — correctness anchor);
-  *  - banded random-hyperplane LSH (the 100 TB scale path: candidates come
-  *    from an equi-join on (band, bucket) — a plain shuffle join — instead
-  *    of a cross join; exact cosine re-verifies candidates).
+  *  - banded random-hyperplane LSH (Charikar 2002 sign-random-projection;
+  *    Indyk–Motwani 1998 LSH framing) — the 100 TB scale path: candidates
+  *    come from an equi-join on (band, bucket) — a plain shuffle join —
+  *    instead of a cross join; exact cosine re-verifies candidates;
+  *  - IVF-style cell probing (inverted-file ANN à la Jégou et al. 2011,
+  *    IVFADC) with a deterministic coarse quantizer.
   *
   * The LSH hyperplanes are deterministic (seeded), and the DuckDB oracle
   * SQL is *generated from the same plane constants*, so even the LSH

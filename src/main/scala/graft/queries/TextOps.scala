@@ -10,8 +10,11 @@ import graft.{Q, Tables}
 /** Text analysis + deduplication over the `documents` fixture (doc_id,
   * text, lang, source, n_chars) — the training-data-pipeline text surface
   * from the brief: token counting, quality scoring, language ID, exact
-  * dedup, n-gram Jaccard, MinHash+LSH, SimHash, rolling-hash
-  * fingerprinting.
+  * dedup, n-gram Jaccard, MinHash+LSH (Broder 1997, "On the resemblance
+  * and containment of documents"; banding per Leskovec–Rajaraman–Ullman,
+  * Mining of Massive Datasets ch. 3), SimHash (Charikar 2002, STOC;
+  * Manku et al. 2007, WWW), and winnowing-style rolling-hash
+  * fingerprinting (Schleimer–Wilkerson–Aiken 2003, SIGMOD).
   *
   * Everything is pure `functions._` composition (codegen'd, no UDFs), and
   * every query — including the MinHash/SimHash pipelines — carries DuckDB

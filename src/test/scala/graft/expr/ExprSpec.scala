@@ -51,6 +51,21 @@ class ExprSpec extends SparkSpec {
     assert(nulls.forall(_.isNullAt(0)))
   }
 
+  test("cosine_similarity survives CODEGEN_ONLY (doGenCode actually compiles)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = Seq((Array(3.0, 4.0), Array(4.0, 3.0)))
+        .toDF("a", "b")
+        .select(GraftFunctions.cosineSimilarity($"a", $"b"))
+        .as[Double].head()
+      assert(math.abs(got - 24.0 / 25.0) < 1e-12)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("cosine_similarity works on float arrays and via SQL") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
