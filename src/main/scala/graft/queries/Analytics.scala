@@ -232,7 +232,52 @@ object Analytics {
            FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")
   )
 
+  private val correlatedSql: String =
+    """SELECT p_partkey AS part_id, p_brand,
+       round(p_retailprice, 2) AS price
+       FROM part p
+       WHERE p_retailprice > 1.05 * (
+         SELECT avg(p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+       ORDER BY part_id"""
+
+  /** Correlated scalar subquery, executed through the engine's SQL front
+    * end (`spark.sql`) with byte-identical text on the DuckDB side —
+    * parts priced ≥20% above their brand's average. */
+  val sqlCorrelated = Q(
+    "q61_sql_correlated",
+    (s, d) => {
+      Seq("part").foreach(t =>
+        Tables.load(s, d, t).createOrReplaceTempView(t))
+      s.sql(correlatedSql)
+    },
+    Some(correlatedSql)
+  )
+
+  /** Distribution window functions: quartile bucket, percent rank, and
+    * cumulative distribution of customers by account balance per
+    * market segment. */
+  val distributionWindows = Q(
+    "q62_distribution_windows",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey").as("cust_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_mktsegment"), col("cust_id"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey AS cust_id,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+           ORDER BY c_mktsegment, cust_id""")
+  )
+
   val all: Seq[Q] = Seq(rollupStats, statAggs, percentiles, dateParts,
     intersectYears, exceptYears, pivotFlags, runningTotals, labelCentroids,
-    fuzzyNames, distinctCounts)
+    fuzzyNames, distinctCounts, sqlCorrelated, distributionWindows)
 }
