@@ -232,22 +232,24 @@ object Analytics {
            FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")
   )
 
+  // comparison in exact integer cents (the file's convention) so the
+  // boundary can't diverge between engines on order-dependent float sums
   private val correlatedSql: String =
     """SELECT p_partkey AS part_id, p_brand,
        round(p_retailprice, 2) AS price
        FROM part p
-       WHERE p_retailprice > 1.05 * (
-         SELECT avg(p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+       WHERE CAST(round(p_retailprice * 100, 0) AS BIGINT) > 1.05 * (
+         SELECT avg(CAST(round(p2.p_retailprice * 100, 0) AS BIGINT))
+         FROM part p2 WHERE p2.p_brand = p.p_brand)
        ORDER BY part_id"""
 
   /** Correlated scalar subquery, executed through the engine's SQL front
     * end (`spark.sql`) with byte-identical text on the DuckDB side —
-    * parts priced ≥20% above their brand's average. */
+    * parts priced more than 5% above their brand's average. */
   val sqlCorrelated = Q(
     "q61_sql_correlated",
     (s, d) => {
-      Seq("part").foreach(t =>
-        Tables.load(s, d, t).createOrReplaceTempView(t))
+      Tables.part(s, d).createOrReplaceTempView("part")
       s.sql(correlatedSql)
     },
     Some(correlatedSql)
