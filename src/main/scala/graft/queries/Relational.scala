@@ -33,18 +33,23 @@ object Relational {
   val popularParts = Q(
     "q02_popular_parts",
     (s, d) => {
+      // average over exact integer cents: the sort key + LIMIT cutoff is
+      // then a deterministic function of identical inputs on both engines
+      // (an avg over raw doubles is order-dependent at the ulp level)
       Tables.lineitem(s, d)
         .groupBy(col("l_partkey").as("part_id"))
         .agg(count(lit(1)).as("cnt"),
-             round(avg(col("l_extendedprice")), 4).as("avg_price"))
+             round(avg(round(col("l_extendedprice") * 100, 0).cast("long")), 4)
+               .as("avg_price_cents"))
         .where(col("cnt") > 30)
-        .orderBy(col("avg_price").desc, col("part_id"))
+        .orderBy(col("avg_price_cents").desc, col("part_id"))
         .limit(20)
     },
     Some("""SELECT l_partkey AS part_id, count(*) AS cnt,
-           round(avg(l_extendedprice), 4) AS avg_price
+           round(avg(CAST(round(l_extendedprice * 100, 0) AS BIGINT)), 4)
+             AS avg_price_cents
            FROM lineitem GROUP BY 1 HAVING count(*) > 30
-           ORDER BY avg_price DESC, part_id LIMIT 20""")
+           ORDER BY avg_price_cents DESC, part_id LIMIT 20""")
   )
 
   /** TPC-H Q1-shaped pricing summary: scan→filter(pushdown)→hash agg.
