@@ -116,5 +116,26 @@ object TpchShapes {
            GROUP BY 1, 2 ORDER BY lost_cents DESC, cust_id LIMIT 20""")
   )
 
-  val all: Seq[Q] = Seq(shippingPriority, localSupplierVolume, returnedItems)
+  private val priorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS n
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY 1 ORDER BY o_orderpriority"""
+
+  /** TPC-H Q4 shape: correlated EXISTS with an inequality predicate
+    * (semi join with a non-equi component), byte-identical SQL on both
+    * engines. */
+  val orderPriorityCheck = Q(
+    "q63_order_priority_check",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(priorityCheckSql)
+    },
+    Some(priorityCheckSql)
+  )
+
+  val all: Seq[Q] = Seq(shippingPriority, localSupplierVolume, returnedItems,
+    orderPriorityCheck)
 }
