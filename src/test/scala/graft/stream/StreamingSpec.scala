@@ -151,6 +151,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ST5 state survives a query restart from checkpoint") {
+    implicit val sc = spark.sqlContext
+    val lambda = 0.05
+    val features = Seq((1, Array(1.0, 0.0)), (2, Array(0.0, 1.0)))
+      .toDF("itemId", "features")
+    val ckpt = java.nio.file.Files.createTempDirectory("interest-ckpt").toString
+    val in = MemoryStream[String]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[UserInterest]()
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    def start() = StreamOps.interestStream(
+        StreamOps.enrich(StreamOps.parseEvents(in.toDF()), features),
+        dim = 2, lambda = lambda)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserInterest], _: Long) =>
+        batch.collect().foreach(seen.add); ()
+      }
+      .start()
+
+    val q1 = start()
+    in.addData("7 1 4.0 100")
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // new query instance, same checkpoint → state recovers
+    in.addData("7 2 2.0 200")
+    q2.processAllAvailable()
+    q2.stop()
+
+    val expected = StreamOps.blend(
+      StreamOps.blend(Array(0.0, 0.0), Array(1.0, 0.0), 4.0, lambda),
+      Array(0.0, 1.0), 2.0, lambda)
+    import scala.jdk.CollectionConverters._
+    val last = seen.asScala.filter(_.userId == 7).maxBy(_.nEvents)
+    assert(last.nEvents == 2L, "state was lost across restart")
+    last.interest.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12)
+    }
+  }
+
   test("ST6+J4 end-to-end: foreachBatch scores top-N and upserts the recs table") {
     implicit val sc = spark.sqlContext
     val features = Seq(
