@@ -377,7 +377,30 @@ object Relational {
            FROM orders ORDER BY price DESC, order_id LIMIT 10""")
   )
 
-  val all: Seq[Q] = Seq(
+  /** F6 multi-hot encoding (ref genre vector `streaming_rec.py:130-134`)
+    * in the oracle catalog: p_type over its category vocabulary, one 0/1
+    * column per term (GraftFunctions.multiHot produces the same bits as
+    * an array; columns keep the oracle compare flat). */
+  val multiHotTypes = Q(
+    "q64_multi_hot_types",
+    (s, d) => {
+      val vocab = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+      val toks = split(col("p_type"), " ")
+      Tables.part(s, d)
+        .select(col("p_partkey").as("part_id") +:
+          vocab.map(v => array_contains(toks, v).cast("long").as(s"is_${v.toLowerCase}")): _*)
+        .orderBy(col("part_id"))
+    },
+    Some {
+      val vocab = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+      val cols = vocab.map(v =>
+        s"CAST(CASE WHEN list_contains(string_split(p_type, ' '), '$v') " +
+          s"THEN 1 ELSE 0 END AS BIGINT) AS is_${v.toLowerCase}").mkString(", ")
+      s"SELECT p_partkey AS part_id, $cols FROM part ORDER BY part_id"
+    }
+  )
+
+  val all: Seq[Q] = Seq(multiHotTypes,
     pricingSummary, popularParts, coldParts, customerHistory, partCustomers,
     globalStats, pointLookup, candidateAnti, ratingsTriple, sampleLimit,
     topkPerCustomer, distinctFlags, unionNations, semiJoin, havingPriority,
