@@ -36,8 +36,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    // integer division, NOT floor(ts/1000): `/` casts longs to double and
+    // 2024-era epoch nanos (~1.7e18) exceed double's 2^53 exact range —
+    // ~1.5% of rows land 1 µs off the oracle's exact ns→us cast.
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -24,13 +24,26 @@ case class CharShingles(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length - k + 1
+    // iterate by code points, not UTF-16 units: supplementary characters
+    // (emoji, CJK extensions) must not be surrogate-split, and the DuckDB
+    // oracle's substr/length count code points
+    val cp = s.codePointCount(0, s.length)
+    val n = cp - k + 1
     if (n <= 0) new GenericArrayData(Array.empty[Any])
     else {
+      val offsets = new Array[Int](cp + 1)
+      var off = 0
+      var idx = 0
+      while (idx < cp) {
+        offsets(idx) = off
+        off = s.offsetByCodePoints(off, 1)
+        idx += 1
+      }
+      offsets(cp) = s.length
       val out = new Array[Any](n)
       var i = 0
       while (i < n) {
-        out(i) = UTF8String.fromString(s.substring(i, i + k))
+        out(i) = UTF8String.fromString(s.substring(offsets(i), offsets(i + k)))
         i += 1
       }
       new GenericArrayData(out)

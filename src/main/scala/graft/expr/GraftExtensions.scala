@@ -22,6 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_shingles"),
       new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
       (exprs: Seq[Expression]) =>
-        CharShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+        CharShingles(exprs.head, GraftFunctions.shingleWidth(exprs(1)))))
   }
 }

@@ -20,8 +20,7 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_shingles",
-      exprs => CharShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]),
+      exprs => CharShingles(exprs.head, shingleWidth(exprs(1))),
       "built-in")
     spark.udf.register("rmse_agg",
       udaf(RmseAggregator, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
@@ -31,6 +30,21 @@ object GraftFunctions {
     * [[register]] on the session first. */
   def charShingles(text: Column, k: Int): Column =
     call_function("char_shingles", text, lit(k))
+
+  /** The k argument of char_shingles must be a foldable integer literal;
+    * fail with a message naming the contract instead of a bare cast error.
+    */
+  private[expr] def shingleWidth(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    val v = try e.eval() catch {
+      case t: Throwable => throw new IllegalArgumentException(
+        "char_shingles(text, k): k must be a constant integer literal", t)
+    }
+    v match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"char_shingles(text, k): k must be a constant integer literal, got $other")
+    }
+  }
 
   /** Native cosine similarity (see [[CosineSimilarity]]); requires
     * [[register]] on the session first. */

@@ -28,6 +28,9 @@ case class HyperplaneBands(child: Expression, planes: Array[Array[Double]],
     val arr = input.asInstanceOf[ArrayData]
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val n = arr.numElements()
+    require(n == planes(0).length,
+      s"hyperplane_bands: embedding dim $n != plane dim ${planes(0).length} " +
+        "— refusing to truncate (signatures would be silently wrong)")
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -43,8 +46,7 @@ case class HyperplaneBands(child: Expression, planes: Array[Array[Double]],
         val p = planes(b * rowsPerBand + j)
         var dot = 0.0
         var k = 0
-        val m = math.min(n, p.length)
-        while (k < m) { dot += v(k) * p(k); k += 1 }
+        while (k < n) { dot += v(k) * p(k); k += 1 }
         if (dot > 0) bucket |= (1 << j)
         j += 1
       }

@@ -76,7 +76,7 @@ object MovieLens {
   /** The reference's 18-genre vocabulary (ref `src/streaming/
     * streaming_rec.py:203-222`). */
   val genreVocab: Seq[String] = Seq(
-    "Action", "Adventure", "Animation", "Children", "Comedy", "Crime",
+    "Action", "Adventure", "Animation", "Children's", "Comedy", "Crime",
     "Documentary", "Drama", "Fantasy", "Film-Noir", "Horror", "Musical",
     "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western")
 }

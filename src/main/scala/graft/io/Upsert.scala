@@ -20,21 +20,23 @@ object Upsert {
     require(valueCols.sameElements(updates.columns.filterNot(keys.contains)),
       "existing and updates must share the same schema")
     val e = existing.as("e")
-    val u = updates.as("u")
+    // presence sentinel: detects the update row even when its key columns
+    // contain NULLs (key-nullness checks would wrongly let existing win)
+    val u = updates.withColumn("__upd", lit(1)).as("u")
     val cond = keys.map(k => col(s"e.$k") <=> col(s"u.$k")).reduce(_ && _)
     e.join(u, cond, "full_outer")
       .select(
-        keys.map(k => coalesce(col(s"u.$k"), col(s"e.$k")).as(k)) ++
+        keys.map(k =>
+          when(col("u.__upd").isNotNull, col(s"u.$k")).otherwise(col(s"e.$k")).as(k)) ++
         valueCols.map { c =>
-          // update wins when the update row exists (its keys are non-null)
-          when(keys.map(k => col(s"u.$k").isNotNull).reduce(_ && _),
-            col(s"u.$c")).otherwise(col(s"e.$c")).as(c)
+          when(col("u.__upd").isNotNull, col(s"u.$c")).otherwise(col(s"e.$c")).as(c)
         }: _*)
   }
 
   /** `remove_rec.cypher` equivalent: drop all recommendations for the
-    * given users. */
+    * given users (rows with a NULL user are never targeted, so they are
+    * kept — guards against NOT-IN three-valued-logic drops). */
   def deleteForUsers(recs: DataFrame, userIds: Seq[Int],
                      userCol: String = "user_id"): DataFrame =
-    recs.where(!col(userCol).isInCollection(userIds))
+    recs.where(col(userCol).isNull || !col(userCol).isInCollection(userIds))
 }

@@ -12,11 +12,7 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries {
 
-  private def h32Sql(s: String): String =
-    (1 to 8).map { i =>
-      val pow = math.pow(16, 8 - i).toLong
-      s"(strpos('0123456789abcdef', substr(md5($s), $i, 1)) - 1) * $pow"
-    }.mkString("(", " + ", ")")
+  private def h32Sql(s: String): String = OracleSql.h32(s)
 
   /** Binary payload metadata + resize planning, payload never decoded
     * (column pruning keeps the scan metadata-only). */

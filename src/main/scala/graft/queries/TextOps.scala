@@ -37,13 +37,8 @@ object TextOps {
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Same 32-bit hash — DuckDB side (md5 hex prefix parsed via strpos
-    * polynomial; DuckDB has no conv()). `s` is a SQL expression string. */
-  private def h32Sql(s: String): String =
-    (1 to 8).map { i =>
-      val pow = math.pow(16, 8 - i).toLong
-      s"(strpos('0123456789abcdef', substr(md5($s), $i, 1)) - 1) * $pow"
-    }.mkString("(", " + ", ")")
+  /** Same 32-bit hash — DuckDB side (shared, see [[OracleSql.h32]]). */
+  private def h32Sql(s: String): String = OracleSql.h32(s)
 
   /** Polynomial "rolling" hash of a 4-char shingle (base 31, mod 1000003)
     * — Spark side. */

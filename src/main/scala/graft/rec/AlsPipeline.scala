@@ -56,9 +56,13 @@ object AlsPipeline {
     * items via left-anti join (P7). Output: user_id, item_id, rank. */
   def recommendTopK(model: ALSModel, ratings: DataFrame, users: DataFrame,
                     k: Int): DataFrame = {
-    // Over-fetch k + max-rated to survive the anti-join, then re-rank.
-    val maxRated = ratings.groupBy("user_id").count()
-      .agg(max("count")).head().getLong(0).toInt
+    // Over-fetch k + max-rated-within-SUBSET to survive the anti-join,
+    // then re-rank. Bounding by the subset (not the global max) keeps one
+    // power user elsewhere from inflating every user's fetch; coalesce
+    // guards the empty case.
+    val maxRated = ratings.join(users.select("user_id"), Seq("user_id"))
+      .groupBy("user_id").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0).toInt
     val recs = model.recommendForUserSubset(users, k + maxRated)
       .select(col("user_id"), posexplode(col("recommendations")))
       .select(col("user_id"), col("pos"),

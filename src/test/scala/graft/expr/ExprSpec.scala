@@ -112,6 +112,12 @@ class ExprSpec extends SparkSpec {
     assert(got(1) == Seq.empty) // len < k
     assert(got(2) == Seq.empty)
     assert(got(3) == Seq.empty)
+    // code-point iteration: supplementary chars must not surrogate-split
+    val emoji = "a😀bc" // a😀bc = 4 code points
+    val gotEmoji = Seq(emoji).toDF("t")
+      .select(GraftFunctions.charShingles($"t", 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(gotEmoji == Seq("a😀", "😀b", "bc"))
     // parity with the substring composition it replaces
     val text = "the quick brown fox jumps"
     val viaExpr = Seq(text).toDF("t")

@@ -39,9 +39,9 @@ class IoSpec extends SparkSpec {
     assert(r == ((1, 1193, 5.0, 978300760L)))
 
     val m = MovieLens.readMoviesDat(spark,
-      tmpFile("movies.dat", "1::Toy Story (1995)::Animation|Children|Comedy"))
+      tmpFile("movies.dat", "1::Toy Story (1995)::Animation|Children's|Comedy"))
     val genres = m.select(MovieLens.genresArray($"genres")).as[Seq[String]].head()
-    assert(genres == Seq("Animation", "Children", "Comedy"))
+    assert(genres == Seq("Animation", "Children's", "Comedy"))
     val hot = m.select(
       GraftFunctions.multiHot($"genres", MovieLens.genreVocab).as("v"))
       .as[Seq[Int]].head()
@@ -70,6 +70,23 @@ class IoSpec extends SparkSpec {
     val twice = Upsert.merge(once, updates, keys)
       .as[(Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
     assert(twice.toSeq == got.toSeq)
+  }
+
+  test("upsert with NULL keys: update still wins; delete keeps null-user rows") {
+    val existing = Seq((Option(1), 0.5), (Option.empty[Int], 0.1))
+      .toDF("user_id", "score")
+    val updates = Seq((Option.empty[Int], 0.9)).toDF("user_id", "score")
+    val merged = Upsert.merge(existing, updates, Seq("user_id"))
+      .as[(Option[Int], Double)].collect().sortBy(_._2)
+    // the null-keyed update row must replace the null-keyed existing row
+    assert(merged.toSeq == Seq((Some(1), 0.5), (None, 0.9)))
+
+    val recs = Seq((Option(1), 0.5), (Option.empty[Int], 0.1), (Option(2), 0.2))
+      .toDF("user_id", "score")
+    val left = Upsert.deleteForUsers(recs, Seq(1))
+      .as[(Option[Int], Double)].collect().sortBy(_._2)
+    // NULL user was never targeted → kept (no NOT-IN three-valued drop)
+    assert(left.toSeq == Seq((None, 0.1), (Some(2), 0.2)))
   }
 
   test("Q8 delete-for-users drops only the targeted users' recs") {
