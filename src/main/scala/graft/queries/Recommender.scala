@@ -16,17 +16,26 @@ import graft.rec.{AlsPipeline, Ratings}
   * item-item cosine over the user-item matrix, computed as a per-user
   * self-join — the shuffle key is user_id, so the quadratic term is
   * bounded by per-user degree, never by catalog size; this is the shape
-  * that survives 100 TB (plus a degree cap for power users if needed).
+  * that survives 100 TB. Power users are degree-capped ([[Ratings.capped]],
+  * cap=64 ≈ p95 of the fixture's degree distribution): each user
+  * contributes at most cap² pairs, so one user who rated 100k items costs
+  * 64²=4096 pairs, not 10¹⁰ — the oracle SQL applies the identical
+  * deterministic cap, and ItemCfSpec proves cap-equality on uniform data.
   */
 object Recommender {
 
   private def rview = Ratings.viewSql
 
-  /** Item-item cosine similarity top-50 (co-rated by ≥3 users). */
+  /** Per-user degree cap for the item-CF self-join (see object doc). */
+  private[queries] val DegreeCap = 64
+
+  /** Item-item cosine similarity top-50 (co-rated by ≥3 users), over the
+    * degree-capped ratings view. Norms are computed over the same capped
+    * view so cos stays a true cosine of the capped vectors. */
   val itemCf = Q(
     "q32_item_cf",
     (s, d) => {
-      val r = Ratings.view(s, d).cache()
+      val r = Ratings.capped(Ratings.view(s, d), DegreeCap).cache()
       val norms = r.groupBy(col("item_id"))
         .agg(sqrt(sum(col("rating") * col("rating"))).as("nrm"))
       val co = r.select(col("user_id"), col("item_id").as("i"), col("rating").as("ri"))
@@ -43,7 +52,7 @@ object Recommender {
         .orderBy(col("cos").desc, col("i"), col("j"))
         .limit(50)
     },
-    Some(s"""WITH r AS ($rview),
+    Some(s"""WITH r AS (${Ratings.cappedSql(DegreeCap)}),
             n AS (SELECT item_id, sqrt(sum(rating*rating)) AS nrm FROM r GROUP BY 1),
             co AS (SELECT a.item_id AS i, b.item_id AS j,
                      sum(a.rating*b.rating) AS dot, count(*) AS n_common

@@ -90,13 +90,26 @@ object Similarity {
            WHERE rank <= 5 ORDER BY probe_id, rank""")
   )
 
+  /** Hard ceiling for the exact all-pairs path (q21): 50k rows ≈ 1.25e9
+    * candidate pairs, the most a correctness anchor should ever scan. */
+  private val ExactNeardupMaxRows = 50000L
+
   /** Exact embedding-cosine near-duplicate pairs (threshold 0.35 — the
     * fixture's vectors are near-orthogonal, max pairwise cos ≈ 0.51).
-    * Quadratic by construction; q22 is the scale path. */
+    *
+    * TEST-ORACLE ANCHOR ONLY — quadratic by construction, and gated on
+    * input size so it cannot silently become a production path: above
+    * [[ExactNeardupMaxRows]] rows it refuses and points at q22 (the
+    * banded-LSH path, whose recall against this anchor q66 measures). */
   val embeddingNeardup = Q(
     "q21_embedding_neardup",
     (s, d) => {
       val e = emb(s, d)
+      val n = e.count()
+      require(n <= ExactNeardupMaxRows,
+        s"q21_embedding_neardup is the exact all-pairs correctness anchor " +
+        s"(O(n²)); input has $n rows > $ExactNeardupMaxRows. Use " +
+        s"q22_lsh_neardup (banded hyperplane LSH) at scale.")
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
       a.crossJoin(b)

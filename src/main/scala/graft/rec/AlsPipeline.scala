@@ -53,24 +53,28 @@ object AlsPipeline {
   }
 
   /** Top-k recommendations for a user subset, excluding already-rated
-    * items via left-anti join (P7). Output: user_id, item_id, rank. */
+    * items via left-anti join (P7). Output: user_id, item_id, rank.
+    *
+    * Fully planned — no driver-side action anywhere: candidates are the
+    * subset × item-factor catalog (the served users broadcast against the
+    * distributed item side) minus rated items, scored by the explicit
+    * factor join ([[scoreExplicit]]), ranked by a per-user window top-k
+    * (ties broken by item_id, so serving is deterministic). This replaces
+    * the earlier `recommendForUserSubset` + over-fetch shape, whose fetch
+    * width was `k + max-rated-in-subset` — one power user with 100k
+    * ratings made EVERY served user materialize 100k+k candidates. Here a
+    * power user only enlarges the anti-join's build side, and the scored
+    * candidate set is always |users|·|items| − |rated|, pruned to top-k
+    * inside the window (Spark ≥3.5 plans rank≤k as a group limit). */
   def recommendTopK(model: ALSModel, ratings: DataFrame, users: DataFrame,
                     k: Int): DataFrame = {
-    // Over-fetch k + max-rated-within-SUBSET to survive the anti-join,
-    // then re-rank. Bounding by the subset (not the global max) keeps one
-    // power user elsewhere from inflating every user's fetch; coalesce
-    // guards the empty case.
-    val maxRated = ratings.join(users.select("user_id"), Seq("user_id"))
-      .groupBy("user_id").count()
-      .agg(coalesce(max("count"), lit(0L))).head().getLong(0).toInt
-    val recs = model.recommendForUserSubset(users, k + maxRated)
-      .select(col("user_id"), posexplode(col("recommendations")))
-      .select(col("user_id"), col("pos"),
-        col("col.item_id").as("item_id"), col("col.rating").as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("pos"))
-    recs.join(ratings.select("user_id", "item_id"), Seq("user_id", "item_id"),
+    val items = model.itemFactors.select(col("id").as("item_id"))
+    val cand = items.crossJoin(broadcast(users.select(col("user_id"))))
+      .join(ratings.select("user_id", "item_id"), Seq("user_id", "item_id"),
         "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("score").desc, col("item_id"))
+    scoreExplicit(model, cand)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("user_id"), col("item_id"), col("rank"))

@@ -30,4 +30,28 @@ object Ratings {
        avg(1.0 + (l_quantity % 5)) AS rating
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY 1, 2"""
+
+  /** Per-user degree cap: keep each user's top-`cap` ratings (by rating
+    * desc, item_id asc — deterministic, and rating is an exact ratio of
+    * integers so the ordering is float-parity-safe cross-engine). This is
+    * the standard skew guard for user-keyed self-joins: a power user with
+    * d ratings contributes O(d²) pairs, so capping d bounds the worst key
+    * at O(cap²) no matter how skewed the user distribution gets at 100 TB.
+    */
+  def capped(ratings: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("rating").desc, col("item_id"))
+    ratings.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  /** Matching DuckDB SQL for [[capped]], over the [[viewSql]] CTE body. */
+  def cappedSql(cap: Int): String =
+    s"""SELECT user_id, item_id, rating FROM (
+        SELECT user_id, item_id, rating,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY rating DESC, item_id) AS rn
+        FROM ($viewSql) rv) t WHERE rn <= $cap"""
 }

@@ -50,4 +50,45 @@ class AlsSpec extends SparkSpec {
     val overlap = recs.join(r, Seq("user_id", "item_id"), "inner").count()
     assert(overlap == 0L)
   }
+
+  test("planned recommendTopK matches the recommendForUserSubset reference") {
+    val r = Ratings.view(spark, sfDir).cache()
+    val model = AlsPipeline.fit(r, rank = 4, maxIter = 3)
+    val users = r.select($"user_id").where($"user_id" < 8).distinct()
+    val k = 4
+    val planned = AlsPipeline.recommendTopK(model, r, users, k)
+      .select($"user_id".cast("long"), $"item_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // reference path: MLlib's own ranking, over-fetched wide enough to
+    // survive the anti-join, then trimmed to k driver-side
+    val maxRated = r.groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0).toInt
+    val ref = model.recommendForUserSubset(users, k + maxRated)
+      .select($"user_id", posexplode($"recommendations"))
+      .select($"user_id".cast("long").as("user_id"), $"pos",
+        $"col.item_id".cast("long").as("item_id"))
+      .join(r.select("user_id", "item_id"), Seq("user_id", "item_id"),
+        "left_anti")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).take(k).map(_._2).toSet).toMap
+
+    assert(planned.keySet == ref.keySet)
+    // compare via scores, not raw item ids: MLlib accumulates the dot
+    // product in float, the planned path in double — exact ties may
+    // permute, but the per-user score vectors must match.
+    val uf = model.userFactors.collect()
+      .map(r0 => r0.getInt(0).toLong -> r0.getSeq[Float](1).toArray).toMap
+    val itf = model.itemFactors.collect()
+      .map(r0 => r0.getInt(0).toLong -> r0.getSeq[Float](1).toArray).toMap
+    def score(u: Long, i: Long): Double =
+      uf(u).zip(itf(i)).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    planned.foreach { case (u, items) =>
+      val ps = items.toSeq.map(score(u, _)).sorted
+      val rs = ref(u).toSeq.map(score(u, _)).sorted
+      ps.zip(rs).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4) }
+    }
+  }
 }
