@@ -238,23 +238,36 @@ object TextOps {
     Array.fill(K)((rnd.nextInt(1000000).toLong + 1, rnd.nextInt(1000000).toLong + 1))
   }
 
+  /** Registers the one-pass signature expression (see [[graft.expr.MinHashSig]])
+    * with THIS catalog's seeded coefficients. */
+  private def minhashSigCol(s: SparkSession, text: Column): Column = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => graft.expr.MinHashSig(exprs.head, 4, minhashCoef, P),
+      "built-in")
+    call_function("minhash_sig", text)
+  }
+
+  /** Per-doc signatures (doc_id, sig: array<bigint> length K) — the
+    * shared, shuffle-free first stage of q28/q29. */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), minhashSigCol(s, col("text")).as("sig"))
+      .where(col("sig").isNotNull)
+
   /** Per-doc MinHash signature, exploded to (doc_id, k, mh) rows so the
-    * oracle compare is flat. */
+    * oracle compare is flat. The signature is computed per row by the
+    * native one-pass expression — no explode, no shuffle; the only
+    * exchange left in the plan is the output ORDER BY. (The oracle keeps
+    * the explode/groupBy formulation, so the expression's hash/min math
+    * is itself oracle-verified.) */
   val minhashSig = Q(
     "q28_minhash_sig",
-    (s, d) => {
-      // min() is insensitive to duplicates, so the distinct-shingle shuffle
-      // is skipped entirely: hash every occurrence, aggregate directly.
-      val sh = rawShingles(Tables.documents(s, d))
-        .select(col("doc_id"), h32(col("s")).as("hv"))
-      val aggs = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
-        min(pmod(lit(a) * col("hv") + lit(b), lit(P))).as(s"mh$k")
-      }
-      val m = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      val pairs = (0 until K).flatMap(k => Seq(lit(k).cast("long"), col(s"mh$k")))
-      m.select(col("doc_id"), explode(map(pairs: _*)).as(Seq("k", "mh")))
-        .orderBy(col("doc_id"), col("k"))
-    },
+    (s, d) =>
+      signatures(s, d)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "mh")))
+        .select(col("doc_id"), col("k").cast("long").as("k"), col("mh"))
+        .orderBy(col("doc_id"), col("k")),
     Some {
       val mhCols = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
         s"min(($a * hv + $b) % $P) AS mh$k"
@@ -276,16 +289,11 @@ object TextOps {
   val minhashPairs = Q(
     "q29_minhash_pairs",
     (s, d) => {
-      val sh = rawShingles(Tables.documents(s, d))
-        .select(col("doc_id"), h32(col("s")).as("hv"))
-      val aggs = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
-        min(pmod(lit(a) * col("hv") + lit(b), lit(P))).as(s"mh$k")
-      }
-      val m = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
+      val m = signatures(s, d).cache()
       val banded = m.select(col("doc_id"),
         posexplode(array((0 until Bands).map { b =>
           concat_ws("_", (0 until RowsPerBand).map(j =>
-            col(s"mh${b * RowsPerBand + j}")): _*)
+            element_at(col("sig"), b * RowsPerBand + j + 1)): _*)
         }: _*)).as(Seq("band", "bucket")))
       val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
         .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
@@ -293,11 +301,12 @@ object TextOps {
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
       val est = (0 until K).map(k =>
-        when(col(s"a.mh$k") === col(s"b.mh$k"), 1.0).otherwise(0.0))
+        when(element_at(col("sa"), k + 1) === element_at(col("sb"), k + 1), 1.0)
+          .otherwise(0.0))
         .reduce(_ + _) / K.toDouble
       cand
-        .join(m.as("a"), col("a_id") === col("a.doc_id"))
-        .join(m.as("b"), col("b_id") === col("b.doc_id"))
+        .join(m.select(col("doc_id").as("a_id"), col("sig").as("sa")), Seq("a_id"))
+        .join(m.select(col("doc_id").as("b_id"), col("sig").as("sb")), Seq("b_id"))
         .select(col("a_id"), col("b_id"), round(est, 6).as("est_jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     },

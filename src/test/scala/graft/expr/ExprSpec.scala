@@ -51,6 +51,42 @@ class ExprSpec extends SparkSpec {
     assert(nulls.forall(_.isNullAt(0)))
   }
 
+  test("minhash_sig equals the explode/hash/groupBy composition") {
+    val coefs = Array((3L, 7L), (11L, 13L), (101L, 997L), (65537L, 1L))
+    val p = 2147483647L
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig_test", exprs => MinHashSig(exprs.head, 4, coefs, p),
+      "built-in")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "aaaaaaa"),           // degenerate: one distinct shingle
+      (4L, "abc"),               // too short: no shingles → null
+      (5L, "héllo wörld ünïcode" * 3)) // non-ASCII code points
+      .toDF("doc_id", "text")
+    val viaExpr = docs
+      .select($"doc_id", call_function("minhash_sig_test", $"text").as("sig"))
+      .where($"sig".isNotNull)
+      .as[(Long, Array[Long])].collect().toMap
+    // reference composition: explode shingles, md5-prefix hash, K mins
+    val h32 = conv(substring(md5($"s"), 1, 8), 16, 10).cast("long")
+    val aggs = coefs.zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(lit(a) * $"hv" + lit(b), lit(p))).as(s"mh$k")
+    }
+    val viaCompose = docs
+      .select($"doc_id",
+        explode(GraftFunctions.charShingles($"text", 4)).as("s"))
+      .select($"doc_id", h32.as("hv"))
+      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> Array(t._2, t._3, t._4, t._5)).toMap
+    assert(viaExpr.keySet == Set(1L, 2L, 3L, 5L))
+    assert(viaCompose.keySet == viaExpr.keySet)
+    viaExpr.foreach { case (id, sig) =>
+      assert(sig.sameElements(viaCompose(id)), s"doc $id signature mismatch")
+    }
+  }
+
   test("cosine_similarity survives CODEGEN_ONLY (doGenCode actually compiles)") {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
