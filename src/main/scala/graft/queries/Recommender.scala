@@ -183,6 +183,53 @@ object Recommender {
             GROUP BY 1 ORDER BY item_id""")
   )
 
+  /** M4 at the reference's depth — K=2 LightGCN propagation (the ref
+    * trains 2 layers, `/root/reference/src/csv/train_rmse.py:44-48`) via
+    * [[graft.rec.GraphPropagation.propagate]], oracle-checked: the same
+    * deterministic 2-dim item embedding as q36 pushed through TWO
+    * normalized item→user→item rounds, output layer-averaged over
+    * (e0, e1, e2) as LightGCN does. Exercises the K-layer API end to end
+    * (q36 covers only the 1-layer face). */
+  val graphPropagationK2 = Q(
+    "q65_graph_prop_k2",
+    (s, d) => {
+      val r = Ratings.view(s, d).cache()
+      val e0 = r.groupBy(col("item_id")).agg(
+        avg(col("rating")).as("f1"), count(lit(1)).cast("double").as("f2"))
+      val exploded = e0.select(col("item_id"),
+        posexplode(array(col("f1"), col("f2"))).as(Seq("pos", "v")))
+      graft.rec.GraphPropagation.propagate(r, exploded, layers = 2)
+        .groupBy(col("item_id"))
+        .agg(round(sum(when(col("pos") === 0, col("v"))), 6).as("f1"),
+             round(sum(when(col("pos") === 1, col("v"))), 6).as("f2"))
+        .orderBy(col("item_id"))
+    },
+    Some(s"""WITH r AS ($rview),
+            du AS (SELECT user_id, count(*) AS du FROM r GROUP BY 1),
+            di AS (SELECT item_id, count(*) AS di FROM r GROUP BY 1),
+            ed AS (SELECT r.user_id, r.item_id, 1.0 / sqrt(du.du * di.di) AS w
+                   FROM r JOIN du USING (user_id) JOIN di USING (item_id)),
+            e0 AS (SELECT item_id, avg(rating) AS f1,
+                     CAST(count(*) AS DOUBLE) AS f2 FROM r GROUP BY 1),
+            u1 AS (SELECT ed.user_id, sum(e0.f1 * ed.w) AS f1,
+                     sum(e0.f2 * ed.w) AS f2
+                   FROM ed JOIN e0 USING (item_id) GROUP BY 1),
+            e1 AS (SELECT ed.item_id, sum(u1.f1 * ed.w) AS f1,
+                     sum(u1.f2 * ed.w) AS f2
+                   FROM ed JOIN u1 USING (user_id) GROUP BY 1),
+            u2 AS (SELECT ed.user_id, sum(e1.f1 * ed.w) AS f1,
+                     sum(e1.f2 * ed.w) AS f2
+                   FROM ed JOIN e1 USING (item_id) GROUP BY 1),
+            e2 AS (SELECT ed.item_id, sum(u2.f1 * ed.w) AS f1,
+                     sum(u2.f2 * ed.w) AS f2
+                   FROM ed JOIN u2 USING (user_id) GROUP BY 1)
+            SELECT e0.item_id,
+                   round((e0.f1 + e1.f1 + e2.f1) / 3, 6) AS f1,
+                   round((e0.f2 + e1.f2 + e2.f2) / 3, 6) AS f2
+            FROM e0 JOIN e1 USING (item_id) JOIN e2 USING (item_id)
+            ORDER BY item_id""")
+  )
+
   /** M1–M3 ALS end-to-end: train on the ratings view (seeded), recommend
     * top-5 unseen items for users 0..19. Not SQL-expressible → rows-only
     * driver check; quality is asserted in AlsSpec (RMSE band). */
@@ -199,5 +246,5 @@ object Recommender {
   )
 
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
-    graphPropagation, alsRecs)
+    graphPropagation, graphPropagationK2, alsRecs)
 }

@@ -2,15 +2,17 @@ package graft.rec
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
 /** Embedding clustering (semantic-dedup / IVF-quantizer building block):
-  * seeded MLlib k-means over the embeddings table. The fitted centroids
-  * are exactly what an IVF index needs as its coarse quantizer (q57 uses
-  * a sign grid; a learned quantizer drops in without changing the plan).
+  * seeded MLlib k-means over the embeddings table, plus a fully
+  * relational Lloyd's k-means whose every step is a DataFrame transform —
+  * the coarse quantizer q57's IVF index is built from (and, because it is
+  * deterministic and plan-only, the one the DuckDB oracle can mirror).
   */
 object Clustering {
 
@@ -24,5 +26,55 @@ object Clustering {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("prediction").cast("long").as("cluster"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Euclidean distance of a vector column to a centroid column, folded
+    * sequentially in index order (bit-identical to a scalar loop over the
+    * array, e.g. DuckDB's `list_distance`), then rounded so a ~1-ulp
+    * cross-engine difference in centroid averages cannot flip an argmin:
+    * rounding collapses near-ties to exact ties, and the cid tiebreak
+    * resolves those identically everywhere. */
+  private def distTo(emb: Column, c: Column): Column =
+    round(sqrt(aggregate(zip_with(emb, c, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)), 6)
+
+  /** Nearest-`nprobe` centroids per vector: (vec_id, emb, cid[, dist]).
+    * The centroid table is tiny (K rows) and broadcast, so assignment is
+    * a map-side pass over the vectors — no shuffle at any scale. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+                  nprobe: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist", distTo(col("emb"), col("c")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nprobe)
+      .select(col("vec_id"), col("emb"), col("cid"))
+  }
+
+  /** Lloyd's k-means as a pure relational plan: deterministic init (the K
+    * lowest vec_ids), a fixed number of unrolled assign/update rounds, no
+    * driver-side action anywhere. Returns (cid, c: array<double>).
+    *
+    * Each round is one broadcast assignment pass plus one groupBy over
+    * (cid, pos) exploded elements — K·dim cells, trivially small — so the
+    * build is O(n·K·dim) scan work per round with only bounded-key
+    * shuffles. At 100 TB you'd fit the quantizer on a sample and assign
+    * the full collection with [[assignCells]]; both halves are this same
+    * code. (Jégou et al. 2011's IVF coarse quantizer, built relationally.)
+    */
+  def lloydKMeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val init = vectors.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("emb").as("c"))
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      assignCells(vectors, cent, nprobe = 1)
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("va"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("va")))),
+          x => x.getField("va")).as("c"))
+    }
   }
 }
