@@ -17,12 +17,15 @@ case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
   * carried as opaque `binary` columns with typed metadata, processed by
   * per-partition batch functions.
   *
-  * The real Spark-side machinery — schema, partitioning, batch shape,
-  * metadata extraction, frame sampling — is implemented and tested; the
-  * actual codec step is STUBBED with a deterministic fake (this container
-  * has no image/audio libraries): `decodePixels` synthesizes pixels from
-  * the payload hash. Swap `decodePixels` for a real codec (e.g. javacpp
-  * ffmpeg/imageio) without touching any plumbing.
+  * The Spark-side machinery — schema, partitioning, batch shape, metadata
+  * extraction, frame sampling — is implemented and tested. The codec step
+  * is REAL for images (`javax.imageio`, JDK built-in: PNG/JPEG/GIF/BMP
+  * payloads decode to actual pixel features); audio/video payloads fall
+  * back to a deterministic STUB (this container has no media libraries) —
+  * swap [[Multimodal.stubPixels]] for an ffmpeg binding without touching
+  * any plumbing. Undecodable image bytes also fall back to the stub
+  * rather than failing the batch (corrupt payloads are data, not errors,
+  * in a 100 TB crawl).
   *
   * Scale notes: payloads stay in executor memory only one partition-batch
   * at a time (`mapPartitions`, no collect); metadata-only queries never
@@ -46,15 +49,59 @@ object Multimodal {
       .withColumn("height", (floor(h / 640) % 480 + 1).cast("int"))
   }
 
-  /** STUB codec: deterministic fake "decode" of a payload into a fixed
-    * 8-float feature vector (hash-seeded). Real implementation would call
-    * an image/audio codec here; the batch shape (one partition-iterator at
-    * a time, bounded memory) is the part that matters for scale. */
-  private[multimodal] def decodePixels(payload: Array[Byte]): Array[Float] = {
+  /** STUB codec for kinds with no in-container decoder (audio/video, and
+    * image bytes no installed ImageReader accepts): deterministic fake
+    * "decode" of a payload into a fixed 8-float feature vector
+    * (hash-seeded). The batch shape (one partition-iterator at a time,
+    * bounded memory) is the part that matters for scale. */
+  private[multimodal] def stubPixels(payload: Array[Byte]): Array[Float] = {
     var h = 1125899906842597L // deterministic FNV-ish fold, not a codec
     payload.foreach(b => h = h * 31 + b)
     Array.tabulate(8)(i => (((h >>> (i * 8)) & 0xff).toFloat) / 255.0f)
   }
+
+  /** 8-float image feature: mean R, G, B over the whole frame, mean gray
+    * of the four quadrants, and width/height ratio — all in [0, 1]. */
+  private def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.fill(3)(0.0)          // r, g, b over all pixels
+    val quad = Array.fill(4)(0.0)          // gray per quadrant
+    val quadN = Array.fill(4)(0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sums(0) += r; sums(1) += g; sums(2) += b
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        quad(q) += (r + g + b) / 3.0
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Array(
+      (sums(0) / n / 255.0).toFloat, (sums(1) / n / 255.0).toFloat,
+      (sums(2) / n / 255.0).toFloat,
+      (quad(0) / math.max(quadN(0), 1L) / 255.0).toFloat,
+      (quad(1) / math.max(quadN(1), 1L) / 255.0).toFloat,
+      (quad(2) / math.max(quadN(2), 1L) / 255.0).toFloat,
+      (quad(3) / math.max(quadN(3), 1L) / 255.0).toFloat,
+      (w.toFloat / math.max(w, h)))
+  }
+
+  /** Codec dispatch: real `javax.imageio` decode for images (any format
+    * the JDK readers accept), [[stubPixels]] otherwise. */
+  private[multimodal] def decodePixels(kind: String,
+      payload: Array[Byte]): Array[Float] =
+    if (kind == "image") {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) stubPixels(payload) else imageFeatures(img)
+    } else stubPixels(payload)
 
   /** Decode stage as a typed per-partition batch map — the Scala analogue
     * of a `mapInPandas` batch UDF: payload bytes never leave the executor,
@@ -65,7 +112,7 @@ object Multimodal {
         col("payload"))
       .as[(Long, String, Int, Int, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, w, h, payload) =>
-        DecodedMedia(id, kind, w, h, decodePixels(payload))
+        DecodedMedia(id, kind, w, h, decodePixels(kind, payload))
       })
   }
 

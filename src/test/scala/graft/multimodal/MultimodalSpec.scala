@@ -37,6 +37,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image kind decodes a real PNG via javax.imageio") {
+    // 4×4 PNG, one solid color per quadrant: red, green, blue, white
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val c = (y / 2, x / 2) match {
+        case (0, 0) => 0xff0000
+        case (0, 1) => 0x00ff00
+        case (1, 0) => 0x0000ff
+        case _      => 0xffffff
+      }
+      img.setRGB(x, y, c)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val media = Seq((0L, "image", 4, 4, png))
+      .toDF("media_id", "kind", "width", "height", "payload")
+    val px = Multimodal.decode(media).collect().head.pixels
+    def close(a: Float, b: Double) = math.abs(a - b) < 1e-3
+    // overall means: each channel is 255 in exactly half the pixels
+    assert(close(px(0), 0.5) && close(px(1), 0.5) && close(px(2), 0.5))
+    // quadrant grays: single-channel quads → 1/3, white quad → 1
+    assert(close(px(3), 1.0 / 3) && close(px(4), 1.0 / 3) &&
+      close(px(5), 1.0 / 3) && close(px(6), 1.0))
+    assert(px(7) == 1.0f) // square aspect
+    // and a payload no ImageReader accepts falls back to the stub
+    val junk = "not an image".getBytes("UTF-8")
+    val viaDecode = Multimodal.decodePixels("image", junk)
+    assert(viaDecode.sameElements(Multimodal.stubPixels(junk)))
+  }
+
   test("resizeMeta preserves aspect ratio and never upscales") {
     val r = Multimodal.resizeMeta(Multimodal.mediaTable(spark, sfDir), 320, 240)
       .select($"width", $"height", $"out_w", $"out_h")

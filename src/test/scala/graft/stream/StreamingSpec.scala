@@ -263,6 +263,56 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1, 2))
   }
 
+  test("ST2 live socket source: real TCP transport feeds the same parse path") {
+    // ref src/streaming/streaming_rec.py:173-179 reads its rating events
+    // from a TCP socket; every other spec drives the DAG with MemoryStream,
+    // so this one exercises the actual `format("socket")` source against a
+    // live localhost ServerSocket (mirroring test/streaming_test.py:24-30).
+    val server = new java.net.ServerSocket(0)
+    val lines = Seq("196 242 3.0 881250949", "186 302 3.0 891717742",
+      "22 377 1.0 878887116")
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach(out.println)
+        out.flush()
+        // hold the connection open until the test is done draining
+        try Thread.sleep(60000L)
+        catch { case _: InterruptedException => () }
+        sock.close()
+      } catch { case _: java.net.SocketException => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val parsed = StreamOps.parseEvents(
+      spark.readStream.format("socket")
+        .option("host", "localhost")
+        .option("port", server.getLocalPort)
+        .load())
+    val q = parsed.writeStream.outputMode("append")
+      .format("memory").queryName("socket_parsed").start()
+    try {
+      // socket delivery is async: drain until all lines arrived (bounded)
+      val deadline = System.currentTimeMillis() + 30000L
+      while (spark.table("socket_parsed").count() < lines.size &&
+             System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(50L)
+      }
+      val got = spark.table("socket_parsed").as[RatingEvent]
+        .collect().sortBy(_.userId)
+      assert(got.toSeq == Seq(
+        RatingEvent(22, 377, 1.0, 878887116L),
+        RatingEvent(186, 302, 3.0, 891717742L),
+        RatingEvent(196, 242, 3.0, 881250949L)))
+    } finally {
+      q.stop()
+      writer.interrupt()
+      server.close()
+    }
+  }
+
   test("event-time tumbling window with watermark finalizes past windows") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[java.sql.Timestamp]
