@@ -38,18 +38,29 @@ object Clustering {
     round(sqrt(aggregate(zip_with(emb, c, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)), 6)
 
-  /** Nearest-`nprobe` centroids per vector: (vec_id, emb, cid[, dist]).
-    * The centroid table is tiny (K rows) and broadcast, so assignment is
-    * a map-side pass over the vectors — no shuffle at any scale. */
+  /** Nearest-`nprobe` centroids per vector: (vec_id, emb, cid).
+    * The centroid table is tiny (K rows) and broadcast, so scoring is a
+    * map-side pass over the vectors. The common nprobe=1 argmin goes
+    * through `min_by` — a partially-aggregated groupBy that shuffles ~n
+    * pre-combined rows, not the n·K scored rows a per-vector window would
+    * sort; multi-probe (only ever run on small probe sets) keeps the
+    * window top-k. */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
                   nprobe: Int = 1): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    vectors.crossJoin(broadcast(centroids))
+    val scored = vectors.crossJoin(broadcast(centroids))
       .withColumn("dist", distTo(col("emb"), col("c")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= nprobe)
-      .select(col("vec_id"), col("emb"), col("cid"))
+    if (nprobe == 1)
+      scored.groupBy(col("vec_id"))
+        .agg(first(col("emb")).as("emb"),
+             min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+        .select(col("vec_id"), col("emb"), col("cid"))
+    else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cid"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= nprobe)
+        .select(col("vec_id"), col("emb"), col("cid"))
+    }
   }
 
   /** Lloyd's k-means as a pure relational plan: deterministic init (the K
