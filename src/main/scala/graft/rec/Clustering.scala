@@ -78,6 +78,10 @@ object Clustering {
     val init = vectors.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("c"))
     (1 to iters).foldLeft(init) { (cent, _) =>
+      // Each round's K-row centroid table is cached: without it the
+      // foldLeft lineage makes round i re-execute rounds 1..i-1's full
+      // assignment scans (O(n·iters²) total); with it each round's scan
+      // runs once and later rounds read K rows from memory.
       assignCells(vectors, cent, nprobe = 1)
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
@@ -86,6 +90,7 @@ object Clustering {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("va")))),
           x => x.getField("va")).as("c"))
+        .cache()
     }
   }
 }
