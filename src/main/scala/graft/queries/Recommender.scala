@@ -230,6 +230,51 @@ object Recommender {
             ORDER BY item_id""")
   )
 
+  /** A6 multiclass accuracy (ref `test/horovod_test.py:155-157`: argmax
+    * over a per-class score vector → MulticlassClassificationEvaluator
+    * accuracy). The deterministic stand-in for the NN's prob vector is the
+    * per-item class-count vector (counts of each rating 1..5); prediction
+    * = argmax (first max wins — array_position ∘ array_max, the F11
+    * composition), accuracy = share of ratings the majority class gets.
+    * MiscRecSpec asserts this equals MLlib's evaluator on the same
+    * predictions; counts are exact integers so the oracle ratio is
+    * bit-stable. */
+  val multiclassAccuracy = Q(
+    "q71_multiclass_accuracy",
+    (s, d) => {
+      val r = Ratings.view(s, d)
+      val countCols = (1 to 5).map(c =>
+        sum(when(col("rating") === c, 1L).otherwise(0L)).as(s"c$c"))
+      val scores = array((1 to 5).map(c => col(s"c$c")): _*)
+      val pred = r.groupBy(col("item_id"))
+        .agg(countCols.head, countCols.tail: _*)
+        .select(col("item_id"),
+          array_position(scores, array_max(scores)).cast("long").as("pred_class"))
+      r.join(pred, Seq("item_id"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("rating") === col("pred_class"), 1L).otherwise(0L))
+               .as("n_correct"))
+        .select(col("n"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+    },
+    Some(s"""WITH r AS ($rview),
+            cc AS (SELECT item_id,
+                     ${(1 to 5).map(c =>
+                       s"CAST(sum(CASE WHEN rating = $c THEN 1 ELSE 0 END) AS BIGINT) AS c$c")
+                       .mkString(", ")}
+                   FROM r GROUP BY 1),
+            p AS (SELECT item_id,
+                    CASE ${(1 to 5).map(c => s"WHEN c$c = g THEN $c").mkString(" ")}
+                    END AS pred_class
+                  FROM (SELECT *, greatest(c1, c2, c3, c4, c5) AS g FROM cc)),
+            acc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN rating = pred_class THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct
+                    FROM r JOIN p USING (item_id))
+            SELECT n, n_correct,
+              round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy FROM acc""")
+  )
+
   /** M1–M3 ALS end-to-end: train on the ratings view (seeded), recommend
     * top-5 unseen items for users 0..19. Not SQL-expressible → rows-only
     * driver check; quality is asserted in AlsSpec (RMSE band). */
@@ -246,5 +291,5 @@ object Recommender {
   )
 
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
-    graphPropagation, graphPropagationK2, alsRecs)
+    graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy)
 }

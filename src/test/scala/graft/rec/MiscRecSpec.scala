@@ -68,6 +68,29 @@ class MiscRecSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 0L))
   }
 
+  test("A6 q71 accuracy equals MLlib's MulticlassClassificationEvaluator") {
+    // q71's relational accuracy must be the same number the reference's
+    // evaluator surface computes (horovod_test.py:155-157) on the same
+    // (prediction, label) pairs.
+    val q71 = graft.queries.Recommender.multiclassAccuracy.run(spark, sfDir)
+      .select(col("accuracy")).as[Double].head()
+    val r = Ratings.view(spark, sfDir)
+    val countCols = (1 to 5).map(c =>
+      sum(when(col("rating") === c, 1L).otherwise(0L)).as(s"c$c"))
+    val scores = array((1 to 5).map(c => col(s"c$c")): _*)
+    val pred = r.groupBy(col("item_id"))
+      .agg(countCols.head, countCols.tail: _*)
+      .select(col("item_id"),
+        array_position(scores, array_max(scores)).cast("double").as("label_pred"))
+    val scored = r.join(pred, Seq("item_id"))
+      .select(col("label_pred"), col("rating").cast("double").as("label"))
+    val evaluator = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+      .setPredictionCol("label_pred").setLabelCol("label")
+      .setMetricName("accuracy")
+    val viaMllib = evaluator.evaluate(scored)
+    assert(math.abs(q71 - viaMllib) < 1e-6, s"q71=$q71 vs evaluator=$viaMllib")
+  }
+
   test("k-means clusters embeddings deterministically under a seed") {
     val a = Clustering.clusterEmbeddings(spark, sfDir, k = 8)
       .as[(Long, Long, Long)].collect()
