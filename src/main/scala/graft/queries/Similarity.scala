@@ -94,6 +94,12 @@ object Similarity {
     * candidate pairs, the most a correctness anchor should ever scan. */
   private val ExactNeardupMaxRows = 50000L
 
+  /** Size-guard row counts memoized per fixture dir (immutable data):
+    * the guard costs one metadata-count job per dataset, not one per
+    * q21/q66 invocation. */
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Exact embedding-cosine near-duplicate pairs (threshold 0.35 — the
     * fixture's vectors are near-orthogonal, max pairwise cos ≈ 0.51).
     *
@@ -105,7 +111,7 @@ object Similarity {
     "q21_embedding_neardup",
     (s, d) => {
       val e = emb(s, d)
-      val n = e.count()
+      val n = rowCountCache.getOrElseUpdate(d, e.count())
       require(n <= ExactNeardupMaxRows,
         s"q21_embedding_neardup is the exact all-pairs correctness anchor " +
         s"(O(n²)); input has $n rows > $ExactNeardupMaxRows. Use " +

