@@ -330,6 +330,110 @@ object TextOps {
     }
   )
 
+  /** Shared CTE prefix for q29/q72: signatures `m`, plus (for q72) the
+    * thresholded symmetric candidate-edge list `ed` with self-loops. */
+  private def minhashCtes: String = {
+    val mhCols = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
+      s"min(($a * hv + $b) % $P) AS mh$k"
+    }.mkString(", ")
+    s"""sh AS ($shinglesSql),
+        hv AS (SELECT doc_id, ${h32Sql("s")} AS hv FROM sh),
+        m AS (SELECT doc_id, $mhCols FROM hv GROUP BY doc_id)"""
+  }
+
+  /** Propagation rounds for q72: each round is a neighbor-min step plus a
+    * pointer jump, so reachable distance at least doubles per round. The
+    * fixture's near-dup graph chains CONSECUTIVE docs (est ≥ 0.5 between
+    * doc i and i+1 is common by construction), so component diameter can
+    * approach the doc count — 16 rounds covers diameter ≥ 2¹⁶ , far above
+    * any fixture scale, and DedupComponentsSpec asserts actual
+    * convergence (one more round is a fixpoint) plus equality with a
+    * union-find ground truth. Rounds scale as log(diameter): the same 16
+    * would cover 65k-deep chains at 100 TB, and each round is two
+    * bounded-key joins over the LABEL table (|nodes| rows), not the
+    * corpus. */
+  private val CcRounds = 16
+
+  /** Near-dup GROUPING (the step after candidate generation in a dedup
+    * pipeline): connected components over the MinHash-LSH candidate graph
+    * (q29 pairs with est_jaccard ≥ 0.5), each doc labeled with the min
+    * doc_id of its component — the keeper its group deduplicates to.
+    *
+    * Components come from min-label propagation with pointer jumping
+    * (the MapReduce connected-components family — Rastogi et al. 2013
+    * "hash-to-min", Kiveris et al. 2014): per round, label(d) =
+    * min(label(n) for n ∈ N(d) ∪ {d}) followed by label(d) =
+    * label(label(d)). Every step is an equi-join + min-agg on doc_id —
+    * bounded keys, no driver iteration, per-round results cached — so at
+    * 100 TB it is log(diameter) bounded-key shuffles over the candidate
+    * edge list, never the corpus. The oracle SQL mirrors the identical
+    * unrolled rounds, so the propagation itself is oracle-checked. */
+  val dedupComponents = Q(
+    "q72_dedup_components",
+    (s, d) => {
+      val pairs = minhashPairs.run(s, d)
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      // symmetric adjacency + self-loops: a node's own label joins in on
+      // the same path as its neighbors'
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val nodes = edges.select(col("src")).distinct()
+      val withSelf = edges
+        .unionAll(nodes.select(col("src"), col("src").as("dst"))).cache()
+      val init = nodes.select(col("src").as("doc_id"), col("src").as("keeper"))
+      val labels = (1 to CcRounds).foldLeft(init) { (lab, _) =>
+        val stepped = withSelf
+          .join(lab.select(col("doc_id").as("src"), col("keeper")), Seq("src"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("keeper")).as("keeper")).cache()
+        // the pointer jump references `stepped` TWICE, so without lineage
+        // truncation the logical plan doubles per round (2^rounds nodes —
+        // Catalyst analysis, not execution, becomes the bottleneck).
+        // Eagerly checkpointing the |nodes|-row label table per round is
+        // the standard iterative-graph pattern (GraphX Pregel does the
+        // same): 16 tiny distributed jobs, constant-size plans.
+        stepped
+          .join(stepped.select(col("doc_id").as("keeper"),
+            col("keeper").as("k2")), Seq("keeper"))
+          .select(col("doc_id"), col("k2").as("keeper"))
+          .localCheckpoint(true)
+      }
+      labels.select(col("doc_id"), col("keeper").as("keeper_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val anyBand = (0 until Bands).map { b =>
+        (0 until RowsPerBand).map(j => s"a.mh${b * RowsPerBand + j} = b.mh${b * RowsPerBand + j}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val est = (0 until K).map(k =>
+        s"(CASE WHEN a.mh$k = b.mh$k THEN 1.0 ELSE 0.0 END)").mkString(" + ")
+      // AS MATERIALIZED: each s_i is referenced twice (the pointer jump)
+      // and ed 17 times — inlined CTEs would blow up exponentially, the
+      // SQL twin of the lineage truncation the Spark side gets from
+      // localCheckpoint.
+      val rounds = (1 to CcRounds).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT e.dst AS doc_id, min(l.keeper) AS keeper
+                  FROM ed e JOIN l${i - 1} l ON e.src = l.doc_id GROUP BY 1),
+           l$i AS MATERIALIZED (SELECT a.doc_id, b.keeper
+                   FROM s$i a JOIN s$i b ON a.keeper = b.doc_id)"""
+      }.mkString(",\n")
+      s"""WITH $minhashCtes,
+          pr AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM m a JOIN m b ON a.doc_id < b.doc_id AND ($anyBand)
+                 WHERE round(($est) / $K.0, 6) >= 0.5),
+          ed AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pr
+                 UNION ALL SELECT b_id, a_id FROM pr
+                 UNION ALL SELECT DISTINCT a_id, a_id FROM (
+                   SELECT a_id FROM pr UNION ALL SELECT b_id FROM pr) n(a_id)),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS keeper FROM ed),
+          $rounds
+          SELECT doc_id, keeper AS keeper_id FROM l$CcRounds
+          ORDER BY doc_id"""
+    }
+  )
+
   /** SimHash (32-bit) per doc over whitespace tokens (multiset-weighted):
     * bit j of the signature = sign of Σ_tokens (±1 by token-hash bit j). */
   val simhash = Q(
@@ -426,5 +530,5 @@ object TextOps {
 
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
-    wordNgramJaccard)
+    wordNgramJaccard, dedupComponents)
 }
