@@ -341,18 +341,19 @@ object TextOps {
         m AS (SELECT doc_id, $mhCols FROM hv GROUP BY doc_id)"""
   }
 
-  /** Propagation rounds for q72: each round is a neighbor-min step plus a
-    * pointer jump, so reachable distance at least doubles per round. The
-    * fixture's near-dup graph chains CONSECUTIVE docs (est ≥ 0.5 between
-    * doc i and i+1 is common by construction), so component diameter can
-    * approach the doc count — 16 rounds covers diameter ≥ 2¹⁶ , far above
-    * any fixture scale, and DedupComponentsSpec asserts actual
-    * convergence (one more round is a fixpoint) plus equality with a
-    * union-find ground truth. Rounds scale as log(diameter): the same 16
-    * would cover 65k-deep chains at 100 TB, and each round is two
-    * bounded-key joins over the LABEL table (|nodes| rows), not the
-    * corpus. */
-  private val CcRounds = 16
+  /** Propagation rounds for q72: each round is a neighbor-min step plus
+    * TWO pointer jumps, so reachable distance satisfies r' = 4r + 3 —
+    * after n rounds, 4ⁿ−1. The fixture's near-dup graph chains
+    * CONSECUTIVE docs (est ≥ 0.5 between doc i and i+1 is common by
+    * construction), so component diameter can approach the doc count —
+    * 8 rounds covers diameter 65535, far above any fixture scale, and
+    * DedupComponentsSpec asserts actual convergence (one more round is a
+    * fixpoint) plus equality with a union-find ground truth. Rounds scale
+    * as log(diameter), and the round count — not per-round data — is the
+    * local cost driver (each round is one action over the |nodes|-row
+    * label table), which is why two jumps per round beats twice the
+    * rounds. */
+  private val CcRounds = 8
 
   /** Near-dup GROUPING (the step after candidate generation in a dedup
     * pipeline): connected components over the MinHash-LSH candidate graph
@@ -382,22 +383,24 @@ object TextOps {
       val withSelf = edges
         .unionAll(nodes.select(col("src"), col("src").as("dst"))).cache()
       val init = nodes.select(col("src").as("doc_id"), col("src").as("keeper"))
+      // label(d) := label(label(d)) — references its input twice, so each
+      // intermediate is cached to keep execution linear
+      def jump(l: DataFrame): DataFrame = l.cache()
+        .join(l.select(col("doc_id").as("keeper"), col("keeper").as("k2")),
+          Seq("keeper"))
+        .select(col("doc_id"), col("k2").as("keeper"))
       val labels = (1 to CcRounds).foldLeft(init) { (lab, _) =>
         val stepped = withSelf
           .join(lab.select(col("doc_id").as("src"), col("keeper")), Seq("src"))
           .groupBy(col("dst").as("doc_id"))
-          .agg(min(col("keeper")).as("keeper")).cache()
-        // the pointer jump references `stepped` TWICE, so without lineage
-        // truncation the logical plan doubles per round (2^rounds nodes —
+          .agg(min(col("keeper")).as("keeper"))
+        // each jump references its input twice, so without lineage
+        // truncation the logical plan grows 4× per round (4^rounds nodes —
         // Catalyst analysis, not execution, becomes the bottleneck).
         // Eagerly checkpointing the |nodes|-row label table per round is
         // the standard iterative-graph pattern (GraphX Pregel does the
-        // same): 16 tiny distributed jobs, constant-size plans.
-        stepped
-          .join(stepped.select(col("doc_id").as("keeper"),
-            col("keeper").as("k2")), Seq("keeper"))
-          .select(col("doc_id"), col("k2").as("keeper"))
-          .localCheckpoint(true)
+        // same): one tiny distributed job per round, constant-size plans.
+        jump(jump(stepped)).localCheckpoint(true)
       }
       labels.select(col("doc_id"), col("keeper").as("keeper_id"))
         .orderBy(col("doc_id"))
@@ -409,15 +412,17 @@ object TextOps {
       }.mkString(" OR ")
       val est = (0 until K).map(k =>
         s"(CASE WHEN a.mh$k = b.mh$k THEN 1.0 ELSE 0.0 END)").mkString(" + ")
-      // AS MATERIALIZED: each s_i is referenced twice (the pointer jump)
-      // and ed 17 times — inlined CTEs would blow up exponentially, the
-      // SQL twin of the lineage truncation the Spark side gets from
+      // AS MATERIALIZED: each jump references its input twice and ed is
+      // referenced every round — inlined CTEs would blow up exponentially,
+      // the SQL twin of the lineage truncation the Spark side gets from
       // localCheckpoint.
       val rounds = (1 to CcRounds).map { i =>
         s"""s$i AS MATERIALIZED (SELECT e.dst AS doc_id, min(l.keeper) AS keeper
                   FROM ed e JOIN l${i - 1} l ON e.src = l.doc_id GROUP BY 1),
+           j$i AS MATERIALIZED (SELECT a.doc_id, b.keeper
+                   FROM s$i a JOIN s$i b ON a.keeper = b.doc_id),
            l$i AS MATERIALIZED (SELECT a.doc_id, b.keeper
-                   FROM s$i a JOIN s$i b ON a.keeper = b.doc_id)"""
+                   FROM j$i a JOIN j$i b ON a.keeper = b.doc_id)"""
       }.mkString(",\n")
       s"""WITH $minhashCtes,
           pr AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
