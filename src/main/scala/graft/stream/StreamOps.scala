@@ -121,4 +121,16 @@ object StreamOps {
       .groupBy(window(col(eventTimeCol), windowLen))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("n"))
+
+  /** Streaming exact deduplication on a key set — the ingest-time face of
+    * the batch dedup pipeline (q26/q72): duplicates arriving within the
+    * watermark horizon are dropped; state for keys older than the
+    * watermark is evicted, so state size is bounded by the horizon's key
+    * cardinality, not the stream's history (the property that keeps this
+    * runnable forever at ingest scale). */
+  def dedupStream(events: DataFrame, eventTimeCol: String,
+                  watermark: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

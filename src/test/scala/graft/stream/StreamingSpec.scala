@@ -333,4 +333,33 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got("10:00") == 2L && got("11:00") == 1L)
   }
+
+  test("streaming dedup drops in-horizon duplicates and bounds state by watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val dedup = StreamOps.dedupStream(
+      in.toDF().toDF("doc_id", "et"), "et", "10 minutes", Seq("doc_id"))
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // duplicate doc 1 within the same batch AND across batches in-horizon
+    in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+               (2L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 10:05:00")))   // still a dup: inside horizon
+    q.processAllAvailable()
+    // advance event time far past the watermark: doc 1's state is evicted,
+    // so the same key is accepted again (horizon semantics, bounded state)
+    in.addData((9L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 12:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream")
+      .select($"doc_id", date_format($"et", "HH:mm").as("m"))
+      .as[(Long, String)].collect().sorted
+    assert(got.count(_._1 == 1L) == 2,
+      s"expected doc 1 kept exactly twice (once per horizon): ${got.mkString(",")}")
+    assert(got.toSet == Set((1L, "10:00"), (2L, "10:02"), (9L, "12:00"), (1L, "12:01")))
+  }
 }
