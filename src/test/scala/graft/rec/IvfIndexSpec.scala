@@ -1,0 +1,58 @@
+package graft.rec
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Persistent IVF index: correctness (probe over the parquet-partitioned
+  * index equals the in-memory cell join) and the layout property that
+  * justifies it — the cells scan is DYNAMICALLY PARTITION-PRUNED by the
+  * probe's cid set, so probing touches nprobe/K of the files. */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def vectors = Tables.embeddings(spark, sfDir)
+    .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+
+  test("probe over the persisted index matches the in-memory cell join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vectors, dir, k = 8, iters = 2)
+
+    val probes = vectors.where($"vec_id" < 5)
+    val got = IvfIndex.probe(spark, dir, probes, nprobe = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    // in-memory reference: same quantizer, same cell join, no persistence
+    val cent = Clustering.lloydKMeans(vectors, k = 8, iters = 2).cache()
+    val index = Clustering.assignCells(vectors, cent, nprobe = 1)
+    val pc = Clustering.assignCells(probes, cent, nprobe = 2)
+      .select($"vec_id".as("probe_id"), $"emb".as("pe"), $"cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
+    val expected = index.join(broadcast(pc), Seq("cid"))
+      .where($"probe_id" =!= $"vec_id")
+      .withColumn("score",
+        graft.expr.GraftFunctions.cosineSimilarity($"pe", $"emb"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"score", 6).as("score"))
+      .orderBy($"probe_id", $"rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("the cells scan is dynamically partition-pruned by the probe's cid set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
+    IvfIndex.build(vectors, dir, k = 8, iters = 2)
+    val df = IvfIndex.probe(spark, dir, vectors.where($"vec_id" < 3),
+      nprobe = 1, topK = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"cells scan is not partition-pruned:\n$plan")
+  }
+}
