@@ -533,7 +533,78 @@ object TextOps {
            ORDER BY a_id""")
   )
 
+  /** Word n-grams per doc (1-based windows over the whitespace tokens);
+    * docs with fewer than n tokens contribute no rows on either engine. */
+  private def wordGrams(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           ELSE transform(sequence(1, size(toks) - ${n - 1}),
+             i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i-1+$j]").mkString(", ")}))
+           END""")).as("s"))
+
+  /** Same relation — DuckDB CTE body (`t` = tokenized documents). */
+  private def wordGramsSql(n: Int): String =
+    s"""SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)),
+         i -> ${(0 until n).map(j => s"toks[CAST(i AS INT) + $j]").mkString(" || ' ' || ")})) AS s
+       FROM t"""
+
+  /** Within-document repetition (the Gopher-family quality rule — Rae et
+    * al. 2021 §A1.1: drop docs whose duplicate n-gram fraction is high):
+    * per doc, the fraction of word trigrams that are repeats. Counts are
+    * exact integers, so the ratio is oracle-stable; one explode + one
+    * groupBy on doc_id — a map-side-combinable single shuffle at any
+    * scale. */
+  val repetition = Q(
+    "q73_repetition",
+    (s, d) =>
+      wordGrams(s, d, 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+             countDistinct(col("s")).as("n_unique"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_unique"),
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_trigrams"), 6)
+            .as("dup_frac"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            g AS (${wordGramsSql(3)})
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(count(DISTINCT s) AS BIGINT) AS n_unique,
+                   round(1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*), 6)
+                     AS dup_frac
+            FROM g GROUP BY 1 ORDER BY doc_id""")
+  )
+
+  /** Benchmark decontamination (the train/test-overlap scrub every
+    * training-data pipeline runs before shipping a corpus): flag corpus
+    * docs sharing any word n-gram with the benchmark set — here the
+    * deterministic holdout doc_id % 20 = 0, with n=4 sized to the
+    * fixture's vocabulary (production pipelines use 8–13-gram windows;
+    * n is a parameter of [[wordGrams]]). The only shuffle is the
+    * equi-join on the n-gram itself — benchmark grams are tiny and
+    * broadcast, so at 100 TB this is a map-side filter over the corpus
+    * scan. */
+  val contamination = Q(
+    "q74_contamination",
+    (s, d) => {
+      val g = wordGrams(s, d, 4)
+      val bench = g.where(col("doc_id") % 20 === 0).select(col("s")).distinct()
+      g.where(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("s")).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            g AS (${wordGramsSql(4)}),
+            b AS (SELECT DISTINCT s FROM g WHERE doc_id % 20 = 0)
+            SELECT g.doc_id, CAST(count(DISTINCT g.s) AS BIGINT) AS n_shared
+            FROM g JOIN b USING (s) WHERE g.doc_id % 20 <> 0
+            GROUP BY 1 ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
-    wordNgramJaccard, dedupComponents)
+    wordNgramJaccard, dedupComponents, repetition, contamination)
 }
