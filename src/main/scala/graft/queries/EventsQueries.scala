@@ -133,6 +133,56 @@ object EventsQueries {
            GROUP BY 1 ORDER BY ws""")
   )
 
+  /** AS-OF JOIN (attribution shape: each purchase matched to the same
+    * user's LAST click at or before it) — an operator Spark lacks
+    * natively, built scale-correct with the union-and-running-last trick:
+    * tag both sides, ONE shuffle+sort per user_id, and a running
+    * `last(..., ignoreNulls)` over the unbounded-preceding frame carries
+    * the most recent click forward. No range join, no per-row probe —
+    * the cost is one sort of |clicks|+|purchases| rows however wide the
+    * time range, which is why this shape survives 100 TB where a
+    * range-predicate join explodes. The oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN`, so our relational construction is checked against
+    * an independent first-class implementation. Event times compare at
+    * microsecond precision on both sides (no (user, µs) ties in any
+    * fixture — verified at all three scales). */
+  val asofJoin = Q(
+    "q75_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val tagged = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id").as("click_id"),
+          lit(null).cast("long").as("event_id"))
+        .unionAll(e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            lit(null).cast("long").as("click_id"), col("event_id")))
+      // clicks sort before purchases at equal ts → "at or before" is
+      // inclusive, matching ASOF's p.ts >= c.ts
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("lc_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("lc_ts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tu"),
+          col("lc_id").as("click_id"), unix_micros(col("lc_ts")).as("click_tu"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id,
+             epoch_us(CAST(p.ts AS TIMESTAMP)) AS tu,
+             c.event_id AS click_id,
+             epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_tu
+           FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id AND p.ts >= c.ts
+           ORDER BY p.event_id""")
+  )
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse, jsonExtract,
-    eventsSliding)
+    eventsSliding, asofJoin)
 }
