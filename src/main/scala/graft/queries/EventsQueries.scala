@@ -183,6 +183,64 @@ object EventsQueries {
            ORDER BY p.event_id""")
   )
 
+  /** RANGE (interval-containment) JOIN — the brief's other
+    * custom-operator example: each error event joined to the session
+    * interval containing it. Spark has no interval-join operator, and the
+    * naive `a.user = b.user AND a.tu BETWEEN b.lo AND b.hi` plans as a
+    * per-key nested loop; the scale-correct construction BUCKETIZES time
+    * (here 30-min buckets = the session gap, so a session spans ≤2–3
+    * buckets): intervals explode into their covering buckets, the join
+    * becomes a plain equi-join on (user, bucket), and the BETWEEN
+    * predicate refines the candidates. Cost is |events| + Σ
+    * buckets-per-interval shuffled on uniform keys — no nested loop at
+    * any scale; bucket width tunes the explode/candidate trade. Oracle is
+    * the direct BETWEEN join in DuckDB, independently validating the
+    * bucketed rewrite. */
+  val rangeJoin = Q(
+    "q76_range_join",
+    (s, d) => {
+      val B = 1800L * 1000000L
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+      val sess = e
+        .withColumn("new_sess",
+          when(col("tu") - lag(col("tu"), 1).over(w) > B, 1L)
+            .otherwise(when(lag(col("tu"), 1).over(w).isNull, 1L).otherwise(0L)))
+        .withColumn("sess_id", sum(col("new_sess")).over(w))
+      val iv = sess.groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("tu")).as("start_us"), max(col("tu")).as("end_us"))
+      val ivB = iv.select(col("user_id"), col("start_us"), col("end_us"),
+        explode(expr(s"sequence(start_us div $B, end_us div $B)")).as("bucket"))
+      val err = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("tu"),
+          expr(s"tu div $B").as("bucket"))
+      err.join(ivB, Seq("user_id", "bucket"))
+        .where(col("tu").between(col("start_us"), col("end_us")))
+        .select(col("event_id"), col("user_id"), col("tu"),
+          col("start_us"), col("end_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+           l AS (SELECT user_id, event_id, event_type, tu,
+                   CASE WHEN lag(tu) OVER w IS NULL
+                     OR tu - lag(tu) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+           s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS sess_id FROM l),
+           iv AS (SELECT user_id, sess_id, min(tu) AS start_us, max(tu) AS end_us
+                  FROM s GROUP BY 1, 2)
+           SELECT err.event_id, err.user_id, err.tu, iv.start_us, iv.end_us
+           FROM (SELECT * FROM e WHERE event_type = 'error') err
+           JOIN iv ON err.user_id = iv.user_id
+             AND err.tu BETWEEN iv.start_us AND iv.end_us
+           ORDER BY err.event_id""")
+  )
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse, jsonExtract,
-    eventsSliding, asofJoin)
+    eventsSliding, asofJoin, rangeJoin)
 }
