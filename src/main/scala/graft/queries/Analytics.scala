@@ -279,7 +279,61 @@ object Analytics {
            ORDER BY c_mktsegment, cust_id""")
   )
 
+  /** KMV (k-minimum-values) distinct-count SKETCH (Bar-Yossef et al.
+    * 2002; the brief's "novel sketch" custom-operator slot): per event
+    * type, estimate distinct users from the k smallest values of a
+    * shared deterministic hash — est = (k−1)·2³² / kth_min_hash, with
+    * the standard small-set rule (fewer than k hashes → count them
+    * exactly; the sf0.001 fixture exercises that branch, sf0.01+ the
+    * estimator). Unlike HLL (whose estimate is implementation-specific,
+    * so Spark's and DuckDB's built-ins can never hash-match), KMV over
+    * the shared md5-prefix hash is bit-identical across engines — the
+    * sketch itself is oracle-checked, alongside the exact count it
+    * approximates. The sketch is mergeable (union k-min sets, re-take k
+    * smallest) — the property that makes it a partial aggregate at
+    * scale. */
+  val kmvSketch = Q(
+    "q77_kmv_sketch",
+    (s, d) => {
+      val k = 64
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val e = Tables.events(s, d)
+      val hashes = e.select(col("event_type"), h.as("h")).distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val stats = hashes.withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_h"), max(when(col("rn") === k, col("h"))).as("kth"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(stats, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          round(when(col("n_h") < k, col("n_h").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("kth")), 3)
+            .as("kmv_est"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val k = 64
+      s"""WITH h AS (SELECT DISTINCT event_type,
+              ${OracleSql.h32("CAST(user_id AS VARCHAR)")} AS h FROM events),
+          r AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM h),
+          st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+                   max(CASE WHEN rn = $k THEN h END) AS kth
+                 FROM r GROUP BY 1),
+          ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                 FROM events GROUP BY 1)
+          SELECT ex.event_type, ex.n_exact,
+            round(CASE WHEN st.n_h < $k THEN CAST(st.n_h AS DOUBLE)
+                  ELSE ${(k - 1).toDouble * 4294967296.0} / st.kth END, 3)
+              AS kmv_est
+          FROM ex JOIN st USING (event_type) ORDER BY event_type"""
+    }
+  )
+
   val all: Seq[Q] = Seq(rollupStats, statAggs, percentiles, dateParts,
     intersectYears, exceptYears, pivotFlags, runningTotals, labelCentroids,
-    fuzzyNames, distinctCounts, sqlCorrelated, distributionWindows)
+    fuzzyNames, distinctCounts, sqlCorrelated, distributionWindows, kmvSketch)
 }
