@@ -604,7 +604,58 @@ object TextOps {
             GROUP BY 1 ORDER BY doc_id""")
   )
 
+  /** END-TO-END corpus cleaning (the composition story: the catalog's
+    * text operators ARE a pipeline): quality filter (q24 score ≥ 0.5) →
+    * language filter (q25 = 'en') → near-dup removal (keep only q72
+    * component keepers and graph singletons) → per-source corpus stats.
+    * Both sides COMPOSE the existing operators — the Spark side chains
+    * the catalog queries' own `run` functions, the oracle embeds their
+    * oracle SQL as CTEs — so the pipeline can't drift from its stages.
+    * The mean quality rides on exact integer micro-units (q24's score is
+    * 6-decimal-rounded, so ×10⁶ is integral) keeping the aggregate
+    * order-independent across engines. */
+  val cleanCorpus = Q(
+    "q78_clean_corpus",
+    (s, d) => {
+      val q = textQuality.run(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val l = langId.run(s, d)
+      val kp = dedupComponents.run(s, d)
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id")).join(l, Seq("doc_id"))
+        .join(kp, Seq("doc_id"), "left")
+        .where(col("quality") >= 0.5 && col("guessed_lang") === "en" &&
+          (col("keeper_id").isNull || col("keeper_id") === col("doc_id")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens").cast("long")).as("sum_tokens"),
+             sum(round(col("quality") * 1000000, 0).cast("long")).as("q6"))
+        .select(col("source"), col("n_docs"), col("sum_tokens"),
+          round(col("q6").cast("double") / col("n_docs") / 1000000.0, 6)
+            .as("avg_quality"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH q AS (${textQuality.oracle.get}),
+            l AS (${langId.oracle.get}),
+            kp AS (${dedupComponents.oracle.get})
+            SELECT source, n_docs, sum_tokens,
+              round(CAST(q6 AS DOUBLE) / n_docs / 1000000.0, 6) AS avg_quality
+            FROM (
+              SELECT d.source, count(*) AS n_docs,
+                CAST(sum(CAST(q.n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens,
+                CAST(sum(CAST(round(q.quality * 1000000, 0) AS BIGINT)) AS BIGINT)
+                  AS q6
+              FROM documents d
+              JOIN q USING (doc_id) JOIN l USING (doc_id)
+              LEFT JOIN kp USING (doc_id)
+              WHERE q.quality >= 0.5 AND l.guessed_lang = 'en'
+                AND (kp.keeper_id IS NULL OR kp.keeper_id = d.doc_id)
+              GROUP BY 1) t
+            ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
-    wordNgramJaccard, dedupComponents, repetition, contamination)
+    wordNgramJaccard, dedupComponents, repetition, contamination,
+    cleanCorpus)
 }
