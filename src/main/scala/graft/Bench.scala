@@ -41,7 +41,10 @@ object Bench {
       name -> times.min
     }
     def r3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // keys are the unique qNN prefix: the driver keeps only a 2000-byte
+    // stdout TAIL, and 76 full query names put the line's head outside
+    // the window (r5's "parsed": null). qNN keeps the whole line ~1.1 KB.
+    val qs = results.map { case (k, v) => "\"" + k.split("_").head + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
