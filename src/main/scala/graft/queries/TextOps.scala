@@ -663,8 +663,46 @@ object TextOps {
             ORDER BY source""")
   )
 
+  /** Deterministic DATA MIXING (the mixture step of a training-data
+    * pipeline: sample each source down to its target weight): keep a doc
+    * iff hash(doc) mod 1000 < its source's target permille — a pure
+    * per-row predicate, so the sample is reproducible, join-free,
+    * map-side, and identically computable by the oracle (seeded rand()
+    * would never cross engines). Source weights are a deterministic
+    * function of the source index (250/500/750‰ by index mod 3). Reports
+    * per-source target vs realized keep-rate — the drift check a mixture
+    * job ships with. */
+  val dataMixture = Q(
+    "q79_data_mixture",
+    (s, d) => {
+      val idx = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+      val w = ((idx % 3) + 1) * 250
+      val kept = (h32(concat(lit("mix"), col("doc_id").cast("string"))) % 1000 < w)
+        .cast("long")
+      Tables.documents(s, d)
+        .select(col("source"), w.as("target_permille"), kept.as("kept"))
+        .groupBy(col("source"))
+        .agg(min(col("target_permille")).cast("long").as("target_permille"),
+             count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .select(col("source"), col("target_permille"), col("n_total"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_total"), 6).as("realized"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH m AS (SELECT source,
+              ((CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 3) + 1) * 250
+                AS target_permille,
+              CASE WHEN ${h32Sql("'mix' || CAST(doc_id AS VARCHAR)")} % 1000 <
+                ((CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 3) + 1) * 250
+              THEN 1 ELSE 0 END AS kept
+            FROM documents)
+            SELECT source, CAST(min(target_permille) AS BIGINT) AS target_permille,
+              count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
+              round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS realized
+            FROM m GROUP BY 1 ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
-    cleanCorpus)
+    cleanCorpus, dataMixture)
 }
