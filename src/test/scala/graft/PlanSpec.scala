@@ -64,6 +64,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of and range joins keep their scale-safe shapes") {
+    // q75: the union+running-last construction needs NO join operator at
+    // all — if a Join ever appears, someone rewrote it as a range probe.
+    val p75 = plan("q75_asof_join")
+    assert(!p75.contains("Join"), s"q75 grew a join:\n$p75")
+    // q76: the bucketized rewrite must stay an equi-join — a
+    // BroadcastNestedLoopJoin means the BETWEEN predicate became the join
+    // condition (the per-key nested loop the bucketing exists to avoid).
+    val p76 = plan("q76_range_join")
+    assert(!p76.contains("NestedLoop"), s"q76 plans a nested loop:\n$p76")
+    assert(p76.contains("HashJoin") || p76.contains("SortMergeJoin"),
+      s"q76 has no equi-join:\n$p76")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     // q17: orderBy+limit over orders; q32: the final cos-desc limit 50
     // after the pair aggregation — both must be a streaming top-k.
