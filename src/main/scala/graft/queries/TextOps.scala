@@ -701,8 +701,30 @@ object TextOps {
             FROM m GROUP BY 1 ORDER BY source""")
   )
 
+  /** Corpus length-distribution histogram (the shape report a filtering
+    * stage is tuned against): docs bucketed by n_chars into fixed 50-char
+    * bins via integer division — exact-integer bucket ids, one map-side
+    * combinable groupBy. */
+  val lengthHistogram = Q(
+    "q80_length_histogram",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select((col("n_chars").cast("long")).as("nc"))
+        .groupBy(expr("nc div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("nc")).as("min_chars"), max(col("nc")).as("max_chars"))
+        .select((col("bucket") * 50).as("bucket_lo"), col("n_docs"),
+          col("min_chars"), col("max_chars"))
+        .orderBy(col("bucket_lo")),
+    Some("""SELECT (CAST(n_chars AS BIGINT) // 50) * 50 AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+           FROM documents GROUP BY 1 ORDER BY bucket_lo""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
-    cleanCorpus, dataMixture)
+    cleanCorpus, dataMixture, lengthHistogram)
 }
