@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through bare instead of routing
+// them through sbt's logger ("[info] "/"[error] " prefixes): the round
+// driver tail-parses graft.Bench's one-line JSON, and a log-decorated
+// line is what kept BENCH_r06's "parsed" null.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

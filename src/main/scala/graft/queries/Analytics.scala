@@ -289,9 +289,14 @@ object Analytics {
     * so Spark's and DuckDB's built-ins can never hash-match), KMV over
     * the shared md5-prefix hash is bit-identical across engines — the
     * sketch itself is oracle-checked, alongside the exact count it
-    * approximates. The sketch is mergeable (union k-min sets, re-take k
-    * smallest) — the property that makes it a partial aggregate at
-    * scale. */
+    * approximates. The sketch is a TRUE partial aggregate: the k-min set
+    * is held by [[graft.expr.KMinDistinct]], a typed size-k Aggregator
+    * whose merge is the synopsis-union rule (merge sorted sets, re-take
+    * k smallest) — each map task ships O(k) longs per event type, never
+    * its distinct-hash set, and no distinct() or per-key sort exists
+    * anywhere in the plan (PlanSpec asserts it). The oracle SQL keeps
+    * the equivalent declarative kth-min form; both sides produce the
+    * identical estimate. */
   val kmvSketch = Q(
     "q77_kmv_sketch",
     (s, d) => {
@@ -299,11 +304,14 @@ object Analytics {
       val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
       val e = Tables.events(s, d)
-      val hashes = e.select(col("event_type"), h.as("h")).distinct()
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      val stats = hashes.withColumn("rn", row_number().over(w))
+      val kmin = graft.expr.KMinDistinct.agg(k)
+      val stats = e.select(col("event_type"), h.as("h"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_h"), max(when(col("rn") === k, col("h"))).as("kth"))
+        .agg(kmin(col("h")).as("mins"))
+        // n_h saturates at k — the small-set branch below only needs
+        // "fewer than k distinct hashes", where size(mins) is exact
+        .select(col("event_type"), size(col("mins")).as("n_h"),
+          get(col("mins"), lit(k - 1)).as("kth"))
       val exact = e.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
       exact.join(stats, Seq("event_type"))

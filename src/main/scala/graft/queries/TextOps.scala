@@ -363,6 +363,11 @@ object TextOps {
   private val labelCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** Drop memoized component labels so the next q72 invocation rebuilds
+    * the propagation — used by the bench to time the real build instead
+    * of the memo hit (a propagation regression must stay visible). */
+  def clearLabelMemo(): Unit = labelCache.clear()
+
   /** Near-dup GROUPING (the step after candidate generation in a dedup
     * pipeline): connected components over the MinHash-LSH candidate graph
     * (q29 pairs with est_jaccard ≥ 0.5), each doc labeled with the min

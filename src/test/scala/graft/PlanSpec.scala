@@ -78,6 +78,17 @@ class PlanSpec extends SparkSpec {
       s"q76 has no equi-join:\n$p76")
   }
 
+  test("q77 KMV aggregates with bounded state — no per-key window sort") {
+    // The sketch's scale contract: the k-min set is a partial aggregate
+    // (ObjectHashAggregate over the typed KMinDistinct buffer), NOT a
+    // row_number window that sorts every distinct hash of an event type
+    // inside one task.
+    val p = plan("q77_kmv_sketch")
+    assert(!p.contains("Window"), s"q77 regressed to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q77's k-min set is not a typed partial aggregate:\n$p")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     // q17: orderBy+limit over orders; q32: the final cos-desc limit 50
     // after the pair aggregation — both must be a streaming top-k.
