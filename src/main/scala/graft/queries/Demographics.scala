@@ -137,5 +137,41 @@ object Demographics {
             GROUP BY 1, 2 ORDER BY occupation, gender""")
   )
 
-  val all: Seq[Q] = Seq(cohortStats, cohortTopItems, occupationStats)
+  /** Cohort × TIME — the last untouched face combination: the reference
+    * carries a timestamp on every rating
+    * (`/root/reference/src/cypher/init_database.cypher:9`), so "how does
+    * a cohort's rating volume move month over month" is a first-class
+    * question. Here each rating EVENT (one per lineitem, not the
+    * user-item average) carries its order date; the demographic
+    * dimension broadcasts, the rollup is one shuffle on (gender,
+    * age_band, month). Months travel as 'yyyy-MM' strings — exact
+    * cross-engine, no date-codec ambiguity; rating events are integral
+    * doubles so avg is order-independent. */
+  val cohortMonthly = Q(
+    "q84_cohort_monthly",
+    (s, d) => {
+      val re = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          (lit(1.0) + col("l_quantity") % 5).as("rating"))
+      re.join(broadcast(userDim(s, d)), Seq("user_id"))
+        .groupBy(col("gender"), col("age_band"), col("month"))
+        .agg(count(lit(1)).as("n_ratings"),
+             round(avg(col("rating")), 6).as("avg_rating"))
+        .orderBy(col("gender"), col("age_band"), col("month"))
+    },
+    Some(s"""WITH u AS ($userDimSql),
+            re AS (SELECT o_custkey AS user_id,
+                     strftime(o_orderdate, '%Y-%m') AS month,
+                     1.0 + (l_quantity % 5) AS rating
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT gender, age_band, month, count(*) AS n_ratings,
+                   round(avg(rating), 6) AS avg_rating
+            FROM re JOIN u USING (user_id)
+            GROUP BY 1, 2, 3 ORDER BY gender, age_band, month""")
+  )
+
+  val all: Seq[Q] = Seq(cohortStats, cohortTopItems, occupationStats,
+    cohortMonthly)
 }

@@ -241,6 +241,35 @@ object EventsQueries {
            ORDER BY err.event_id""")
   )
 
+  /** Replay dedup — the batch twin of `StreamOps.dedupStream`
+    * (`dropDuplicatesWithinWatermark` keeps the FIRST event per key):
+    * replaying a logged stream, keep each (user_id, event_type) key's
+    * earliest event by (ts, event_id) — event_id breaks same-microsecond
+    * ties deterministically, exactly the semantics the streaming path
+    * promises at ingest. This oracle-checks what StreamingSpec can only
+    * golden-test, and is itself the standard "first touch per key"
+    * attribution query: one hash shuffle on the key, per-key top-1
+    * window (no global sort). */
+  val replayDedup = Q(
+    "q85_replay_dedup",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"),
+          unix_micros(col("ts")).as("first_tu"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id AS first_event_id,
+              epoch_us(CAST(ts AS TIMESTAMP)) AS first_tu FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events) t
+            WHERE rn = 1 ORDER BY user_id, event_type""")
+  )
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse, jsonExtract,
-    eventsSliding, asofJoin, rangeJoin)
+    eventsSliding, asofJoin, rangeJoin, replayDedup)
 }

@@ -290,6 +290,103 @@ object Recommender {
     None
   )
 
+  /** A8 — weighted loss averaging (ref `src/csv/train_topn.py:80-109`
+    * accumulates per-batch losses and divides by the batch count): the
+    * epoch-level training metric `Σ(loss_b·n_b) / Σ(n_b)` over a
+    * deterministic per-batch loss table — batches are `user_id % 20`
+    * slices of the ratings view, the loss is each batch's MSE against
+    * the global-mean predictor. The macro (unweighted) mean is reported
+    * alongside: the two differ exactly when batch sizes are uneven,
+    * which is what the weighting is for. One shuffle on the batch key,
+    * then a single-row final aggregate. */
+  val weightedLoss = Q(
+    "q81_weighted_loss",
+    (s, d) => {
+      val r = Ratings.view(s, d)
+      val g = r.agg(avg(col("rating")).as("mu"))
+      val batches = r.withColumn("batch", col("user_id") % 20)
+        .crossJoin(broadcast(g))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"),
+             avg(pow(col("rating") - col("mu"), 2)).as("loss"))
+      batches.agg(
+        count(lit(1)).as("n_batches"),
+        sum(col("n")).as("total_n"),
+        round(sum(col("loss") * col("n")) / sum(col("n")), 6).as("weighted_loss"),
+        round(avg(col("loss")), 6).as("macro_loss"))
+    },
+    Some(s"""WITH r AS ($rview),
+            g AS (SELECT avg(rating) AS mu FROM r),
+            b AS (SELECT user_id % 20 AS batch, count(*) AS n,
+                    avg(pow(rating - mu, 2)) AS loss
+                  FROM r CROSS JOIN g GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_batches,
+                   CAST(sum(n) AS BIGINT) AS total_n,
+                   round(sum(loss * n) / sum(n), 6) AS weighted_loss,
+                   round(avg(loss), 6) AS macro_loss
+            FROM b""")
+  )
+
+  /** F12 — BPR loss evaluation (Rendle et al. 2009; ref
+    * `doc/课程报告.md:921-923`, `src/csv/train_topn.py:98-102` trains on
+    * `-ln σ(s_pos − s_neg)`): the loss of the ITEM-MEAN scorer (q33's
+    * predictor) over deterministic (user, pos, neg) triples — each
+    * user's top-rated item (rating desc, item_id tiebreak) against
+    * their bottom-rated one (rating asc, item_id desc), kept only where
+    * the ratings strictly differ. `-ln σ(d) = ln(1+exp(−d))` is a pure
+    * scalar expression; each triple's loss is rounded to 6dp before
+    * averaging so a ≤1-ulp libm divergence between engines cannot
+    * surface, and pairwise accuracy (share of triples the scorer
+    * orders correctly) rides along as an exact integer count. */
+  val bprLoss = Q(
+    "q82_bpr_loss",
+    (s, d) => {
+      val r = Ratings.view(s, d).cache()
+      val im = r.groupBy(col("item_id")).agg(avg(col("rating")).as("im"))
+      val wPos = Window.partitionBy(col("user_id"))
+        .orderBy(col("rating").desc, col("item_id"))
+      val wNeg = Window.partitionBy(col("user_id"))
+        .orderBy(col("rating").asc, col("item_id").desc)
+      val pos = r.withColumn("rn", row_number().over(wPos)).where(col("rn") === 1)
+        .select(col("user_id"), col("item_id").as("pos_item"),
+          col("rating").as("pos_r"))
+      val neg = r.withColumn("rn", row_number().over(wNeg)).where(col("rn") === 1)
+        .select(col("user_id"), col("item_id").as("neg_item"),
+          col("rating").as("neg_r"))
+      val t = pos.join(neg, Seq("user_id"))
+        .where(col("pos_r") > col("neg_r"))
+        .join(im.select(col("item_id").as("pos_item"), col("im").as("s_pos")),
+          Seq("pos_item"))
+        .join(im.select(col("item_id").as("neg_item"), col("im").as("s_neg")),
+          Seq("neg_item"))
+        .withColumn("dd", col("s_pos") - col("s_neg"))
+        .withColumn("loss", round(log(lit(1.0) + exp(-col("dd"))), 6))
+      t.agg(count(lit(1)).as("n_triples"),
+        sum(when(round(col("dd"), 6) > 0, 1L).otherwise(0L)).as("n_correct"),
+        round(avg(col("loss")), 6).as("bpr_loss"))
+    },
+    Some(s"""WITH r AS ($rview),
+            im AS (SELECT item_id, avg(rating) AS im FROM r GROUP BY 1),
+            pos AS (SELECT user_id, item_id AS pos_item, rating AS pos_r FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY rating DESC, item_id) AS rn FROM r) t WHERE rn = 1),
+            neg AS (SELECT user_id, item_id AS neg_item, rating AS neg_r FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY rating ASC, item_id DESC) AS rn FROM r) t WHERE rn = 1),
+            tr AS (SELECT ia.im - ib.im AS dd,
+                     round(ln(1 + exp(-(ia.im - ib.im))), 6) AS loss
+                   FROM pos p JOIN neg n USING (user_id)
+                   JOIN im ia ON ia.item_id = p.pos_item
+                   JOIN im ib ON ib.item_id = n.neg_item
+                   WHERE p.pos_r > n.neg_r)
+            SELECT CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(sum(CASE WHEN round(dd, 6) > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_correct,
+                   round(avg(loss), 6) AS bpr_loss
+            FROM tr""")
+  )
+
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
-    graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy)
+    graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy,
+    weightedLoss, bprLoss)
 }
