@@ -386,7 +386,143 @@ object Recommender {
             FROM tr""")
   )
 
+  private val GdRank = 4
+  private val GdLr = 2.0
+  private val GdReg = 0.02
+  private val GdEpochs = 3
+
+  /** M5's training semantics, relationally — and ORACLE-CHECKED: 3
+    * full-batch GD epochs of rank-4 MF on the mean-centered ratings
+    * ([[graft.rec.GradientMF]]; ref trains its embeddings the same way,
+    * `/root/reference/src/csv/train_rmse.py:121-141`), reporting the
+    * per-epoch RMSE trajectory. The factor tables are LONG format
+    * (id, f, val) with deterministic hash init, so the entire training
+    * loop — predict, per-example-normalized gradient, update — unrolls
+    * into SQL CTEs and DuckDB reproduces the training run to 6dp: the
+    * gradient math itself is what the oracle verifies, not just a final
+    * score. The fixture trajectory falls ~1.42 → ~1.28 over 3 epochs
+    * (GdMfSpec asserts strict monotone descent; the oracle pins the
+    * exact values). */
+  val mfGdTraining = Q(
+    "q86_mf_gd_training",
+    (s, d) => graft.rec.GradientMF.trainTrajectory(
+      Ratings.view(s, d), GdRank, GdLr, GdReg, GdEpochs),
+    Some {
+      def h32init(kind: String, idCol: String): String =
+        s"(${OracleSql.h32(s"'$kind' || CAST($idCol AS VARCHAR) || '_' || CAST(f AS VARCHAR)")} % 1000 - 500) / 1000.0"
+      val head = Seq(
+        s"r0 AS MATERIALIZED ($rview)",
+        "g AS MATERIALIZED (SELECT avg(rating) AS mu FROM r0)",
+        "r AS MATERIALIZED (SELECT user_id, item_id, rating - mu AS res FROM r0 CROSS JOIN g)",
+        s"fs AS (SELECT unnest(range($GdRank)) AS f)",
+        s"u0 AS MATERIALIZED (SELECT user_id, f, ${h32init("u", "user_id")} AS val FROM (SELECT DISTINCT user_id FROM r) CROSS JOIN fs)",
+        s"v0 AS MATERIALIZED (SELECT item_id, f, ${h32init("i", "item_id")} AS val FROM (SELECT DISTINCT item_id FROM r) CROSS JOIN fs)")
+      def predCte(k: Int): String =
+        s"""p$k AS MATERIALIZED (
+            SELECT r.user_id, r.item_id, r.res,
+                   sum(u.val * v.val) - r.res AS err
+            FROM r JOIN u$k u ON r.user_id = u.user_id
+                   JOIN v$k v ON r.item_id = v.item_id AND u.f = v.f
+            GROUP BY r.user_id, r.item_id, r.res)"""
+      val epochs = (0 until GdEpochs).map { k =>
+        s"""${predCte(k)},
+           gu$k AS MATERIALIZED (
+             SELECT p.user_id, v.f, avg(p.err * v.val) AS grad
+             FROM p$k p JOIN v$k v ON p.item_id = v.item_id GROUP BY 1, 2),
+           gv$k AS MATERIALIZED (
+             SELECT p.item_id, u.f, avg(p.err * u.val) AS grad
+             FROM p$k p JOIN u$k u ON p.user_id = u.user_id GROUP BY 1, 2),
+           u${k + 1} AS MATERIALIZED (
+             SELECT u.user_id, u.f,
+                    u.val - $GdLr * (g.grad + $GdReg * u.val) AS val
+             FROM u$k u JOIN gu$k g ON u.user_id = g.user_id AND u.f = g.f),
+           v${k + 1} AS MATERIALIZED (
+             SELECT v.item_id, v.f,
+                    v.val - $GdLr * (g.grad + $GdReg * v.val) AS val
+             FROM v$k v JOIN gv$k g ON v.item_id = g.item_id AND v.f = g.f)"""
+      }
+      val losses = (0 to GdEpochs).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS epoch, round(sqrt(avg(err * err)), 6) AS rmse FROM p$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${(head ++ epochs :+ predCte(GdEpochs)).mkString(",\n")}
+          SELECT * FROM ($losses) t ORDER BY epoch"""
+    }
+  )
+
+  /** M5 — BPR TRAINING semantics, relationally and oracle-checked
+    * (Rendle et al. 2009; the ref's top-N objective,
+    * `/root/reference/src/csv/train_topn.py:98-109`): 3 full-batch
+    * BPR-GD epochs over the deterministic per-user (pos, neg) pair
+    * (q82's rule) via [[graft.rec.GradientMF.bprTrainTrajectory]]. The
+    * trajectory is the evidence of learning — on the fixture the loss
+    * falls ~0.70 → ~0.23 while pairwise accuracy rises ~0.50 → ~1.0 —
+    * and the oracle reproduces the whole training run to 6dp, so the
+    * sigmoid-gradient algebra itself is what's being checked. */
+  val bprGdTraining = Q(
+    "q87_bpr_gd_training",
+    (s, d) => graft.rec.GradientMF.bprTrainTrajectory(
+      Ratings.view(s, d), GdRank, lr = 1.0, reg = GdReg, GdEpochs),
+    Some {
+      val lr = 1.0
+      def h32init(kind: String, idCol: String): String =
+        s"(${OracleSql.h32(s"'$kind' || CAST($idCol AS VARCHAR) || '_' || CAST(f AS VARCHAR)")} % 1000 - 500) / 1000.0"
+      def dCte(k: Int): String =
+        s"""d$k AS MATERIALIZED (
+            SELECT t.user_id, t.pos_item, t.neg_item,
+                   sum(u.val * (vp.val - vn.val)) AS d
+            FROM tr t JOIN u$k u ON t.user_id = u.user_id
+                 JOIN v$k vp ON t.pos_item = vp.item_id AND vp.f = u.f
+                 JOIN v$k vn ON t.neg_item = vn.item_id AND vn.f = u.f
+            GROUP BY 1, 2, 3)"""
+      val head = Seq(
+        s"r AS MATERIALIZED ($rview)",
+        """pos AS MATERIALIZED (SELECT user_id, item_id AS pos_item, rating AS pos_r FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY rating DESC, item_id) AS rn FROM r) t WHERE rn = 1)""",
+        """neg AS MATERIALIZED (SELECT user_id, item_id AS neg_item, rating AS neg_r FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY rating ASC, item_id DESC) AS rn FROM r) t WHERE rn = 1)""",
+        """tr AS MATERIALIZED (SELECT p.user_id, p.pos_item, n.neg_item
+            FROM pos p JOIN neg n USING (user_id) WHERE p.pos_r > n.neg_r)""",
+        s"fs AS (SELECT unnest(range($GdRank)) AS f)",
+        s"u0 AS MATERIALIZED (SELECT user_id, f, ${h32init("u", "user_id")} AS val FROM (SELECT DISTINCT user_id FROM tr) CROSS JOIN fs)",
+        s"""v0 AS MATERIALIZED (SELECT item_id, f, ${h32init("i", "item_id")} AS val FROM (
+            SELECT pos_item AS item_id FROM tr UNION SELECT neg_item FROM tr) CROSS JOIN fs)""")
+      val epochs = (0 until GdEpochs).map { k =>
+        s"""${dCte(k)},
+           s$k AS MATERIALIZED (
+             SELECT *, 1.0 / (1.0 + exp(d)) AS comp FROM d$k),
+           gu$k AS MATERIALIZED (
+             SELECT s.user_id, vp.f, -s.comp * (vp.val - vn.val) AS grad
+             FROM s$k s JOIN v$k vp ON s.pos_item = vp.item_id
+                  JOIN v$k vn ON s.neg_item = vn.item_id AND vn.f = vp.f),
+           gv$k AS MATERIALIZED (
+             SELECT item_id, f, avg(c) AS grad FROM (
+               SELECT s.pos_item AS item_id, u.f, -s.comp * u.val AS c
+               FROM s$k s JOIN u$k u ON s.user_id = u.user_id
+               UNION ALL
+               SELECT s.neg_item, u.f, s.comp * u.val
+               FROM s$k s JOIN u$k u ON s.user_id = u.user_id) cc
+             GROUP BY 1, 2),
+           u${k + 1} AS MATERIALIZED (
+             SELECT u.user_id, u.f, u.val - $lr * (g.grad + $GdReg * u.val) AS val
+             FROM u$k u JOIN gu$k g ON u.user_id = g.user_id AND u.f = g.f),
+           v${k + 1} AS MATERIALIZED (
+             SELECT v.item_id, v.f, v.val - $lr * (g.grad + $GdReg * v.val) AS val
+             FROM v$k v JOIN gv$k g ON v.item_id = g.item_id AND v.f = g.f)"""
+      }
+      val losses = (0 to GdEpochs).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS epoch,
+            round(avg(ln(1 + exp(-d))), 6) AS bpr_loss,
+            round(CAST(sum(CASE WHEN round(d, 6) > 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS pair_acc FROM d$k""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${(head ++ epochs :+ dCte(GdEpochs)).mkString(",\n")}
+          SELECT * FROM ($losses) t ORDER BY epoch"""
+    }
+  )
+
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
     graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy,
-    weightedLoss, bprLoss)
+    weightedLoss, bprLoss, mfGdTraining, bprGdTraining)
 }

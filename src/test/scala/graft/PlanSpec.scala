@@ -31,9 +31,12 @@ class PlanSpec extends SparkSpec {
     * not cartesian: the broadcast side is a ≤10-row probe set.) */
   private val cartesianAllowed = Set("q21_embedding_neardup", "q66_lsh_recall")
 
-  /** q37 trains an MLlib ALS model inside `run` — its plan is exercised
-    * by AlsSpec's planned-serve-path tests instead of rebuilt here. */
-  private val skipped = Set("q37_als_recs")
+  /** q37 trains an MLlib ALS model inside `run` (plan exercised by
+    * AlsSpec's planned-serve-path tests); q86 likewise runs its GD
+    * epochs eagerly (checkpointed per round — the returned plan is just
+    * the 4-row loss union, and GdMfSpec covers the training itself). */
+  private val skipped =
+    Set("q37_als_recs", "q86_mf_gd_training", "q87_bpr_gd_training")
 
   test("no catalog query plans a CartesianProduct (except the gated q21 anchor)") {
     SparkEntry.queries.keys.toSeq.sorted

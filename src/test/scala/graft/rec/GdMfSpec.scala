@@ -1,0 +1,103 @@
+package graft.rec
+
+import graft.SparkSpec
+
+/** Relational full-batch GD MF (q86's engine): the oracle check proves
+  * Spark ≡ DuckDB on the same unrolled algebra; this spec proves the
+  * algebra is actually gradient descent — the trajectory descends on
+  * real data, and one training run equals a hand-rolled in-memory
+  * reference implementation (independent code path: plain Scala maps,
+  * no DataFrames) to the output's 6dp rounding. */
+class GdMfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GD trajectory strictly decreases on the fixture ratings") {
+    val r = Ratings.view(spark, "/root/testdata/sf0.001")
+    val traj = GradientMF.trainTrajectory(r, rank = 4, lr = 2.0,
+        reg = 0.02, epochs = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    assert(traj.length == 4)
+    traj.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"loss rose: ${traj.mkString(", ")}")
+    }
+  }
+
+  test("BPR trajectory: loss falls and pairwise accuracy rises to ~1") {
+    val r = Ratings.view(spark, "/root/testdata/sf0.001")
+    val traj = GradientMF.bprTrainTrajectory(r, rank = 4, lr = 1.0,
+        reg = 0.02, epochs = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(traj.length == 4)
+    traj.sliding(2).foreach { case Array((_, l0, _), (_, l1, _)) =>
+      assert(l1 < l0, s"BPR loss rose: ${traj.mkString(", ")}")
+    }
+    // untrained pairs are a coin flip; 3 epochs must order nearly all
+    assert(traj.head._3 < 0.6 && traj.last._3 > 0.95,
+      s"accuracy trajectory off: ${traj.mkString(", ")}")
+  }
+
+  test("training run equals a hand-rolled in-memory reference") {
+    val rank = 3
+    val lr = 0.5
+    val reg = 0.1
+    val epochs = 2
+    val rows = Seq(
+      (1L, 10L, 4.0), (1L, 11L, 2.0), (1L, 12L, 3.0),
+      (2L, 10L, 5.0), (2L, 12L, 1.0),
+      (3L, 11L, 4.0), (3L, 12L, 5.0))
+
+    val got = GradientMF.trainTrajectory(
+        rows.toDF("user_id", "item_id", "rating"), rank, lr, reg, epochs)
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+
+    // independent reference: same hash init, same math, plain Scala
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def init(kind: String, id: Long, f: Int): Double =
+      ((h32(s"$kind${id}_$f") % 1000) - 500).toDouble / 1000.0
+    val mu = rows.map(_._3).sum / rows.size
+    val res = rows.map { case (u, i, r) => (u, i, r - mu) }
+    var uF = res.map(_._1).distinct
+      .map(u => u -> Array.tabulate(rank)(f => init("u", u, f))).toMap
+    var vF = res.map(_._2).distinct
+      .map(i => i -> Array.tabulate(rank)(f => init("i", i, f))).toMap
+    def errs: Seq[(Long, Long, Double)] = res.map { case (u, i, rr) =>
+      (u, i, uF(u).zip(vF(i)).map { case (a, b) => a * b }.sum - rr)
+    }
+    def rmse: Double =
+      math.sqrt(errs.map(e => e._3 * e._3).sum / errs.size)
+    val want = Seq.newBuilder[Double]
+    for (_ <- 0 until epochs) {
+      want += rmse
+      val e = errs
+      def gradFor[K](ids: Iterable[Long], byKey: Long => Seq[(Long, Double)],
+                     other: Map[Long, Array[Double]]): Map[Long, Array[Double]] =
+        ids.map { id =>
+          val mine = byKey(id)
+          id -> Array.tabulate(rank)(f =>
+            mine.map { case (oid, err) => err * other(oid)(f) }.sum / mine.size)
+        }.toMap
+      val gu = gradFor(uF.keys,
+        u => e.filter(_._1 == u).map(t => (t._2, t._3)), vF)
+      val gv = gradFor(vF.keys,
+        i => e.filter(_._2 == i).map(t => (t._1, t._3)), uF)
+      uF = uF.map { case (u, fv) =>
+        u -> fv.zipWithIndex.map { case (v0, f) =>
+          v0 - lr * (gu(u)(f) + reg * v0) }
+      }
+      vF = vF.map { case (i, fv) =>
+        i -> fv.zipWithIndex.map { case (v0, f) =>
+          v0 - lr * (gv(i)(f) + reg * v0) }
+      }
+    }
+    want += rmse
+    val ref = want.result()
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1.1e-6, s"got=${got.toSeq} want=$ref")
+    }
+  }
+}
