@@ -522,7 +522,93 @@ object Recommender {
     }
   )
 
+  /** M4+M5 COMPOSED — end-to-end LightGCN training, oracle-checked
+    * (He et al. 2020; the ref's trainer
+    * `/root/reference/src/csv/train_rmse.py:121-141`): q36's normalized
+    * propagation is the FORWARD pass, and because propagation is
+    * linear, BACKPROP through the graph is the same edge-weighted
+    * aggregation applied to the gradient tables
+    * ([[graft.rec.GradientMF.lightgcnTrainTrajectory]]). Per-epoch RMSE
+    * of the propagated model falls ~1.41 → ~1.29 over 3 epochs on the
+    * fixture; DuckDB reproduces the whole run — propagation, gradient
+    * flow through the graph, updates — to 6dp. */
+  val lightgcnTraining = Q(
+    "q88_lightgcn_training",
+    (s, d) => graft.rec.GradientMF.lightgcnTrainTrajectory(
+      Ratings.view(s, d), GdRank, lr = 16.0, reg = GdReg, GdEpochs),
+    Some {
+      val lr = 16.0
+      def h32init(kind: String, idCol: String): String =
+        s"(${OracleSql.h32(s"'$kind' || CAST($idCol AS VARCHAR) || '_' || CAST(f AS VARCHAR)")} % 1000 - 500) / 1000.0"
+      def fwd(k: Int): String =
+        s"""up$k AS MATERIALIZED (
+            SELECT u.user_id, u.f, (u.val + p.s) / 2 AS val
+            FROM u$k u JOIN (
+              SELECT e.user_id, v.f, sum(e.w * v.val) AS s
+              FROM ed e JOIN v$k v ON e.item_id = v.item_id
+              GROUP BY 1, 2) p ON u.user_id = p.user_id AND u.f = p.f),
+           vp$k AS MATERIALIZED (
+            SELECT v.item_id, v.f, (v.val + p.s) / 2 AS val
+            FROM v$k v JOIN (
+              SELECT e.item_id, u.f, sum(e.w * u.val) AS s
+              FROM ed e JOIN u$k u ON e.user_id = u.user_id
+              GROUP BY 1, 2) p ON v.item_id = p.item_id AND v.f = p.f),
+           p$k AS MATERIALIZED (
+            SELECT r.user_id, r.item_id, r.res,
+                   sum(up.val * vp.val) - r.res AS err
+            FROM r JOIN up$k up ON r.user_id = up.user_id
+                   JOIN vp$k vp ON r.item_id = vp.item_id AND up.f = vp.f
+            GROUP BY r.user_id, r.item_id, r.res)"""
+      val head = Seq(
+        s"r0 AS MATERIALIZED ($rview)",
+        "g AS MATERIALIZED (SELECT avg(rating) AS mu FROM r0)",
+        "r AS MATERIALIZED (SELECT user_id, item_id, rating - mu AS res FROM r0 CROSS JOIN g)",
+        """du AS MATERIALIZED (SELECT user_id, count(*) AS du FROM r GROUP BY 1)""",
+        """di AS MATERIALIZED (SELECT item_id, count(*) AS di FROM r GROUP BY 1)""",
+        """ed AS MATERIALIZED (SELECT r.user_id, r.item_id,
+              1.0 / sqrt(du.du * di.di) AS w
+            FROM r JOIN du USING (user_id) JOIN di USING (item_id))""",
+        s"fs AS (SELECT unnest(range($GdRank)) AS f)",
+        s"u0 AS MATERIALIZED (SELECT user_id, f, ${h32init("u", "user_id")} AS val FROM (SELECT DISTINCT user_id FROM r) CROSS JOIN fs)",
+        s"v0 AS MATERIALIZED (SELECT item_id, f, ${h32init("i", "item_id")} AS val FROM (SELECT DISTINCT item_id FROM r) CROSS JOIN fs)")
+      val epochs = (0 until GdEpochs).map { k =>
+        s"""${fwd(k)},
+           gup$k AS MATERIALIZED (
+             SELECT p.user_id, vp.f, avg(p.err * vp.val) AS grad
+             FROM p$k p JOIN vp$k vp ON p.item_id = vp.item_id
+             GROUP BY 1, 2),
+           gvp$k AS MATERIALIZED (
+             SELECT p.item_id, up.f, avg(p.err * up.val) AS grad
+             FROM p$k p JOIN up$k up ON p.user_id = up.user_id
+             GROUP BY 1, 2),
+           gu$k AS MATERIALIZED (
+             SELECT a.user_id, a.f, (a.grad + b.s) / 2 AS grad
+             FROM gup$k a JOIN (
+               SELECT e.user_id, gv.f, sum(e.w * gv.grad) AS s
+               FROM ed e JOIN gvp$k gv ON e.item_id = gv.item_id
+               GROUP BY 1, 2) b ON a.user_id = b.user_id AND a.f = b.f),
+           gv$k AS MATERIALIZED (
+             SELECT a.item_id, a.f, (a.grad + b.s) / 2 AS grad
+             FROM gvp$k a JOIN (
+               SELECT e.item_id, gu.f, sum(e.w * gu.grad) AS s
+               FROM ed e JOIN gup$k gu ON e.user_id = gu.user_id
+               GROUP BY 1, 2) b ON a.item_id = b.item_id AND a.f = b.f),
+           u${k + 1} AS MATERIALIZED (
+             SELECT u.user_id, u.f, u.val - $lr * (g.grad + $GdReg * u.val) AS val
+             FROM u$k u JOIN gu$k g ON u.user_id = g.user_id AND u.f = g.f),
+           v${k + 1} AS MATERIALIZED (
+             SELECT v.item_id, v.f, v.val - $lr * (g.grad + $GdReg * v.val) AS val
+             FROM v$k v JOIN gv$k g ON v.item_id = g.item_id AND v.f = g.f)"""
+      }
+      val losses = (0 to GdEpochs).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS epoch, round(sqrt(avg(err * err)), 6) AS rmse FROM p$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${(head ++ epochs :+ fwd(GdEpochs)).mkString(",\n")}
+          SELECT * FROM ($losses) t ORDER BY epoch"""
+    }
+  )
+
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
     graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy,
-    weightedLoss, bprLoss, mfGdTraining, bprGdTraining)
+    weightedLoss, bprLoss, mfGdTraining, bprGdTraining, lightgcnTraining)
 }

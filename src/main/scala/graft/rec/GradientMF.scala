@@ -195,4 +195,103 @@ object GradientMF {
     losses += epochLoss(epochs, scores(u, v))
     losses.result().reduce(_ unionAll _).orderBy(col("epoch"))
   }
+
+  /** END-TO-END LightGCN training (He et al. 2020; the ref's actual
+    * trainer, `/root/reference/src/csv/train_rmse.py:121-141`), K=1
+    * with layer averaging, as full-batch GD through the propagation:
+    *
+    *  - forward: propagated embeddings `U' = (U + ÃV)/2`,
+    *    `V' = (V + ÃᵀU)/2` over the 1/√(d_u·d_i)-normalized bipartite
+    *    edges (q36's propagation), prediction `u'·v'` on mean-centered
+    *    ratings;
+    *  - backward: because the propagation is LINEAR, backprop through
+    *    it is the SAME edge-weighted aggregation applied to the
+    *    gradient tables — `∂L/∂U = (G_U' + Ã G_V')/2` — so "gradients
+    *    flow through the graph" is literally one more join+agg per
+    *    side, and the whole trainer stays relational;
+    *  - update: `val ← val − lr·(grad + λ·val)` on the BASE tables.
+    *
+    * Per-example-mean gradient normalization and per-epoch
+    * checkpointing as [[trainTrajectory]]. Returns the per-epoch RMSE
+    * of the PROPAGATED model — the quantity LightGCN actually trains —
+    * and the full run (propagation + backprop + updates) unrolls into
+    * SQL, so q88's oracle verifies gradient flow through the graph. */
+  def lightgcnTrainTrajectory(ratings: DataFrame, rank: Int, lr: Double,
+                              reg: Double, epochs: Int): DataFrame = {
+    val g = ratings.agg(avg(col("rating")).as("mu"))
+    val res = ratings.crossJoin(broadcast(g))
+      .select(col("user_id"), col("item_id"),
+        (col("rating") - col("mu")).as("res"))
+      .cache()
+    val du = res.groupBy(col("user_id")).agg(count(lit(1)).as("du"))
+    val di = res.groupBy(col("item_id")).agg(count(lit(1)).as("di"))
+    val ed = res.join(du, Seq("user_id")).join(di, Seq("item_id"))
+      .select(col("user_id"), col("item_id"),
+        (lit(1.0) / sqrt(col("du") * col("di"))).as("w"))
+      .cache()
+    val fs = res.sparkSession.range(rank).select(col("id").as("f"))
+
+    def init(kind: String, idCol: String): DataFrame =
+      res.select(col(idCol)).distinct()
+        .crossJoin(broadcast(fs))
+        .select(col(idCol), col("f"),
+          initVal(kind, col(idCol), col("f")).as("val"))
+
+    /** (base + Σ_edge w·other)/2 — the forward half-layer; with a
+      * gradient table as `other` it is equally the backward pass. */
+    def mix(base: DataFrame, other: DataFrame, baseId: String,
+            otherId: String, valCol: String): DataFrame = {
+      val agg = ed.join(
+          other.select(col(otherId), col("f"), col(valCol).as("ov")),
+          Seq(otherId))
+        .groupBy(col(baseId), col("f"))
+        .agg(sum(col("w") * col("ov")).as("s"))
+      base.join(agg, Seq(baseId, "f"))
+        .select(col(baseId), col("f"),
+          ((col(valCol) + col("s")) / 2).as(valCol))
+    }
+
+    def predictions(up: DataFrame, vp: DataFrame): DataFrame =
+      res
+        .join(up.select(col("user_id"), col("f"), col("val").as("uv")),
+          Seq("user_id"))
+        .join(vp.select(col("item_id"), col("f"), col("val").as("vv")),
+          Seq("item_id", "f"))
+        .groupBy(col("user_id"), col("item_id"), col("res"))
+        .agg((sum(col("uv") * col("vv")) - col("res")).as("err"))
+
+    def epochLoss(k: Int, p: DataFrame): DataFrame =
+      p.agg(round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
+        .select(lit(k).cast("long").as("epoch"), col("rmse"))
+
+    var u = init("u", "user_id").localCheckpoint(true)
+    var v = init("i", "item_id").localCheckpoint(true)
+    val losses = Seq.newBuilder[DataFrame]
+    for (k <- 0 until epochs) {
+      val up = mix(u, v, "user_id", "item_id", "val").localCheckpoint(true)
+      val vp = mix(v, u, "item_id", "user_id", "val").localCheckpoint(true)
+      val p = predictions(up, vp).localCheckpoint(true)
+      losses += epochLoss(k, p)
+      val gup = p.join(vp, Seq("item_id"))
+        .groupBy(col("user_id"), col("f"))
+        .agg(avg(col("err") * col("val")).as("grad")).cache()
+      val gvp = p.join(up, Seq("user_id"))
+        .groupBy(col("item_id"), col("f"))
+        .agg(avg(col("err") * col("val")).as("grad")).cache()
+      val gu = mix(gup, gvp, "user_id", "item_id", "grad")
+      val gv = mix(gvp, gup, "item_id", "user_id", "grad")
+      u = u.join(gu, Seq("user_id", "f"))
+        .select(col("user_id"), col("f"),
+          (col("val") - lit(lr) * (col("grad") + lit(reg) * col("val"))).as("val"))
+        .localCheckpoint(true)
+      v = v.join(gv, Seq("item_id", "f"))
+        .select(col("item_id"), col("f"),
+          (col("val") - lit(lr) * (col("grad") + lit(reg) * col("val"))).as("val"))
+        .localCheckpoint(true)
+    }
+    losses += epochLoss(epochs, predictions(
+      mix(u, v, "user_id", "item_id", "val"),
+      mix(v, u, "item_id", "user_id", "val")))
+    losses.result().reduce(_ unionAll _).orderBy(col("epoch"))
+  }
 }

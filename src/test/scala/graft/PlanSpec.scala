@@ -35,8 +35,8 @@ class PlanSpec extends SparkSpec {
     * AlsSpec's planned-serve-path tests); q86 likewise runs its GD
     * epochs eagerly (checkpointed per round — the returned plan is just
     * the 4-row loss union, and GdMfSpec covers the training itself). */
-  private val skipped =
-    Set("q37_als_recs", "q86_mf_gd_training", "q87_bpr_gd_training")
+  private val skipped = Set("q37_als_recs", "q86_mf_gd_training",
+    "q87_bpr_gd_training", "q88_lightgcn_training")
 
   test("no catalog query plans a CartesianProduct (except the gated q21 anchor)") {
     SparkEntry.queries.keys.toSeq.sorted

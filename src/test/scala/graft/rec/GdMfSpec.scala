@@ -36,6 +36,17 @@ class GdMfSpec extends SparkSpec {
       s"accuracy trajectory off: ${traj.mkString(", ")}")
   }
 
+  test("LightGCN end-to-end trajectory strictly decreases") {
+    val r = Ratings.view(spark, "/root/testdata/sf0.001")
+    val traj = GradientMF.lightgcnTrainTrajectory(r, rank = 4, lr = 16.0,
+        reg = 0.02, epochs = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    assert(traj.length == 4)
+    traj.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"propagated-model loss rose: ${traj.mkString(", ")}")
+    }
+  }
+
   test("training run equals a hand-rolled in-memory reference") {
     val rank = 3
     val lr = 0.5
