@@ -28,7 +28,13 @@ object Bench {
         "lineitem", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q86,q88 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(o => o.contains(name) || o.contains(name.split("_").head)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to Passes).map { _ =>
         // q72 memoizes its converged labels per (session, dataset) — the
         // right artifact semantics for a dedup pipeline, but a bench pass

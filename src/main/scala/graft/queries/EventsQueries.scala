@@ -270,6 +270,43 @@ object EventsQueries {
             WHERE rn = 1 ORDER BY user_id, event_type""")
   )
 
+  /** Native SESSION WINDOWS (Spark's `session_window` gap-merge
+    * operator, the batch face of streaming sessionization) pinned to
+    * the relational definition: the oracle rebuilds sessions the
+    * classic way — lag + gap flag + running sum — and must produce the
+    * identical (start, end, count) triples, including Spark's exact
+    * boundary rule (a gap of EXACTLY 30 min starts a new session:
+    * windows merge only on strict overlap, so the oracle flags
+    * `diff >= gap`, where q39's count-only sessionization used `>`).
+    * Session end = last event + gap, as the operator defines it. */
+  val sessionWindows = Q(
+    "q89_session_windows",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+            l AS (SELECT user_id, event_id, tu,
+                    CASE WHEN lag(tu) OVER w IS NULL
+                           OR tu - lag(tu) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+            sa AS (SELECT user_id, tu,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM l)
+            SELECT user_id, min(tu) AS start_us,
+                   max(tu) + 1800000000 AS end_us,
+                   count(*) AS n_events
+            FROM sa GROUP BY user_id, sid ORDER BY user_id, start_us""")
+  )
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse, jsonExtract,
-    eventsSliding, asofJoin, rangeJoin, replayDedup)
+    eventsSliding, asofJoin, rangeJoin, replayDedup, sessionWindows)
 }

@@ -728,8 +728,50 @@ object TextOps {
            FROM documents GROUP BY 1 ORDER BY bucket_lo""")
   )
 
+  /** Heavy hitters by SAMPLED counting (the sticky-sampling /
+    * sample-and-count family, Manku & Motwani 2002): frequent-token
+    * discovery over a deterministic 10% hash-sample of documents,
+    * measured AGAINST the exact top-k as its recall — the q66/q67
+    * acceptance-number idiom applied to frequency sketching. At 100 TB
+    * the exact path is a full-corpus token shuffle; the sampled path
+    * shuffles a tenth of it (or less), and this query reports exactly
+    * what that discount costs. Counts are exact integers with token
+    * tiebreaks, so both top-k sets are oracle-stable. */
+  val sampledHeavyHitters = Q(
+    "q90_sampled_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+      def topk(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t")).limit(20)
+      val exactTop = topk(toks).select(col("t"))
+      val sampleTop = topk(toks.where(
+          h32(concat(lit("hh"), col("doc_id").cast("string"))) % 10 === 0))
+        .select(col("t"), lit(1).as("hit"))
+      exactTop.join(sampleTop, Seq("t"), "left")
+        .agg(count(lit(1)).as("n_topk"), count(col("hit")).as("n_found"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("recall"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, t FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents) u WHERE t <> ''),
+            ex AS (SELECT t FROM (
+              SELECT t, count(*) AS c FROM toks GROUP BY 1
+              ORDER BY c DESC, t LIMIT 20) e),
+            sm AS (SELECT t, 1 AS hit FROM (
+              SELECT t, count(*) AS c FROM toks
+              WHERE ${h32Sql("'hh' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+              GROUP BY 1 ORDER BY c DESC, t LIMIT 20) q)
+            SELECT count(*) AS n_topk, count(sm.hit) AS n_found,
+                   round(CAST(count(sm.hit) AS DOUBLE) / count(*), 6) AS recall
+            FROM ex LEFT JOIN sm USING (t)""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
-    cleanCorpus, dataMixture, lengthHistogram)
+    cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters)
 }
