@@ -263,6 +263,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1, 2))
   }
 
+  test("streaming session windows merge across batches and finalize on watermark") {
+    // q89 oracle-checks the batch face of session_window; this drives the
+    // STREAMING face: a session must keep absorbing in-gap events across
+    // micro-batches and only emit (append mode) once the watermark passes
+    // its end.
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Int, java.sql.Timestamp)]
+    val sess = in.toDF().toDF("user_id", "et")
+      .withWatermark("et", "30 minutes")
+      .groupBy($"user_id", session_window($"et", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".as("ws"), $"n")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sessw").start()
+    // batch 1: two events 10 min apart -> one open session
+    in.addData((1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // batch 2: 25 min after the last event (< gap) -> extends the SAME session
+    in.addData((1, ts("2024-01-01 10:35:00")))
+    q.processAllAvailable()
+    // batch 3: a far-future event advances the watermark past the session's
+    // end (11:05) -> the merged 3-event session finalizes; the new session
+    // stays open and unemitted
+    in.addData((2, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessw")
+      .select($"user_id", $"ws", $"n")
+      .as[(Int, java.sql.Timestamp, Long)].collect().toSeq
+    assert(got == Seq((1, ts("2024-01-01 10:00:00"), 3L)), s"got $got")
+  }
+
   test("ST2 live socket source: real TCP transport feeds the same parse path") {
     // ref src/streaming/streaming_rec.py:173-179 reads its rating events
     // from a TCP socket; every other spec drives the DAG with MemoryStream,
