@@ -50,7 +50,8 @@ class PlanSpec extends SparkSpec {
 
   test("dimension joins broadcast the small side") {
     Seq("q04_customer_history", "q16_region_stats", "q32_item_cf",
-        "q68_cohort_stats", "q70_occupation_stats").foreach { name =>
+        "q68_cohort_stats", "q70_occupation_stats",
+        "q84_cohort_monthly").foreach { name =>
       val p = plan(name)
       assert(p.contains("BroadcastHashJoin"),
         s"$name has no BroadcastHashJoin in:\n$p")
@@ -95,7 +96,8 @@ class PlanSpec extends SparkSpec {
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     // q17: orderBy+limit over orders; q32: the final cos-desc limit 50
     // after the pair aggregation — both must be a streaming top-k.
-    Seq("q17_global_topk", "q32_item_cf").foreach { name =>
+    Seq("q17_global_topk", "q32_item_cf",
+        "q90_sampled_heavy_hitters").foreach { name =>
       val p = plan(name)
       assert(p.contains("TakeOrderedAndProject"),
         s"$name does not plan a TakeOrderedAndProject:\n$p")
