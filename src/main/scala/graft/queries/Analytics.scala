@@ -341,7 +341,57 @@ object Analytics {
     }
   )
 
+  /** Quantiles from a deterministic 10% USER hash-sample vs exact, with
+    * the absolute error alongside — the data-profiling face of the
+    * sketch family (q77 distinct counts, q90 heavy hitters): at 100 TB
+    * the exact per-group percentile is a full sort-based aggregate over
+    * the corpus, while the cluster-sample touches a tenth of it, and
+    * this query reports exactly what the discount costs per group.
+    * Values are exact integer cents, so both engines interpolate over
+    * identical multisets and the sketch itself is oracle-checked. */
+  val sampledQuantiles = Q(
+    "q91_sampled_quantiles",
+    (s, d) => {
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val e = Tables.events(s, d)
+        .select(col("event_type"), (h % 10).as("hb"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(cents, 0.5)"), 6).as("p50_exact"),
+             round(expr("percentile(cents, 0.95)"), 6).as("p95_exact"))
+      val approx = e.where(col("hb") === 0)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(cents, 0.5)"), 6).as("p50_approx"),
+             round(expr("percentile(cents, 0.95)"), 6).as("p95_approx"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"),
+          col("p50_exact"), col("p50_approx"),
+          round(abs(col("p50_exact") - col("p50_approx")), 6).as("p50_err"),
+          col("p95_exact"), col("p95_approx"),
+          round(abs(col("p95_exact") - col("p95_approx")), 6).as("p95_err"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT event_type,
+              ${OracleSql.h32("CAST(user_id AS VARCHAR)")} % 10 AS hb,
+              CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+            ex AS (SELECT event_type,
+                     round(quantile_cont(cents, 0.5), 6) AS p50_exact,
+                     round(quantile_cont(cents, 0.95), 6) AS p95_exact
+                   FROM e GROUP BY 1),
+            ap AS (SELECT event_type,
+                     round(quantile_cont(cents, 0.5), 6) AS p50_approx,
+                     round(quantile_cont(cents, 0.95), 6) AS p95_approx
+                   FROM e WHERE hb = 0 GROUP BY 1)
+            SELECT event_type, p50_exact, p50_approx,
+                   round(abs(p50_exact - p50_approx), 6) AS p50_err,
+                   p95_exact, p95_approx,
+                   round(abs(p95_exact - p95_approx), 6) AS p95_err
+            FROM ex JOIN ap USING (event_type) ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(rollupStats, statAggs, percentiles, dateParts,
     intersectYears, exceptYears, pivotFlags, runningTotals, labelCentroids,
-    fuzzyNames, distinctCounts, sqlCorrelated, distributionWindows, kmvSketch)
+    fuzzyNames, distinctCounts, sqlCorrelated, distributionWindows, kmvSketch,
+    sampledQuantiles)
 }
