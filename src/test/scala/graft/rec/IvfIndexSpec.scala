@@ -45,6 +45,17 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("catalog q83 probes its persisted index through dynamic partition pruning") {
+    // the catalog-path twin of the assertion below: the ORACLE row proves
+    // q83's results; this proves the layout property on the exact plan the
+    // catalog serves (cells scan pruned by the probe's cid set).
+    val df = graft.SparkEntry.queries("q83_ivf_index_probe")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"q83's cells scan is not partition-pruned:\n$plan")
+  }
+
   test("the cells scan is dynamically partition-pruned by the probe's cid set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
     IvfIndex.build(vectors, dir, k = 8, iters = 2)
