@@ -390,8 +390,99 @@ object Analytics {
             FROM ex JOIN ap USING (event_type) ORDER BY event_type""")
   )
 
+  /** CUBE completes the grouping-sets trio (q44 rollup, q50 pivot):
+    * all four (returnflag × linestatus) grouping sets in one pass —
+    * Spark plans a single Expand + hash aggregate, not four scans. */
+  val cubeStats = Q(
+    "q92_cube_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy(col("rf").asc_nulls_first, col("ls").asc_nulls_first),
+    Some("""SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS price_cents
+           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           ORDER BY rf NULLS FIRST, ls NULLS FIRST""")
+  )
+
+  /** UNPIVOT (wide → long), the inverse of q50's pivot: Spark's native
+    * `unpivot` operator melts a 3-metric-per-segment table into
+    * (segment, metric, val) rows; the oracle is the relational
+    * definition — one UNION ALL branch per metric — so the operator's
+    * naming and row semantics are pinned, not assumed. */
+  val unpivotMetrics = Q(
+    "q93_unpivot_metrics",
+    (s, d) => {
+      val wide = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(cents(col("c_acctbal"))).as("acctbal_cents"),
+             countDistinct(col("c_nationkey")).as("n_nations"))
+      wide.unpivot(
+          Array(col("c_mktsegment")),
+          Array(col("n_customers"), col("acctbal_cents"), col("n_nations")),
+          "metric", "val")
+        .orderBy(col("c_mktsegment"), col("metric"))
+    },
+    Some("""WITH w AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                AS acctbal_cents,
+              CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+            FROM customer GROUP BY 1)
+            SELECT c_mktsegment, metric, val FROM (
+              SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS val FROM w
+              UNION ALL
+              SELECT c_mktsegment, 'acctbal_cents', acctbal_cents FROM w
+              UNION ALL
+              SELECT c_mktsegment, 'n_nations', n_nations FROM w) u
+            ORDER BY c_mktsegment, metric""")
+  )
+
+  /** Rolling 7-day distinct users (DAU / DAU7) — windowed COUNT
+    * DISTINCT, which no engine's window frame does natively at scale:
+    * the `collect_set(...) OVER (RANGE 6 PRECEDING)` spelling holds
+    * every frame's full user set in one task's memory and Spark rightly
+    * makes it awkward. The scale shape is map-side day EXPANSION: each
+    * distinct (day, user) pair contributes itself to the 7 report-days
+    * it covers (a bounded 7× explode), then one hash countDistinct per
+    * report day — shuffles carry (day, user) longs, frames never
+    * materialize. Restricted to report days that actually have events,
+    * so DAU and DAU7 align row-for-row. */
+  val rollingDau = Q(
+    "q94_rolling_dau",
+    (s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id"))
+        .distinct().cache()
+      val expanded = pairs
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .distinct()
+      val dau = pairs.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val dau7 = expanded.join(pairs.select(col("day")).distinct(), Seq("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau7"))
+      dau.join(dau7, Seq("day")).orderBy(col("day"))
+    },
+    Some("""WITH p AS (SELECT DISTINCT
+              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+            FROM events),
+            ex AS (SELECT DISTINCT day + o AS day, user_id
+                   FROM p CROSS JOIN (SELECT unnest(range(7)) AS o) os),
+            dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM p GROUP BY 1),
+            d7 AS (SELECT ex.day, count(DISTINCT ex.user_id) AS dau7
+                   FROM ex JOIN (SELECT DISTINCT day FROM p) dd USING (day)
+                   GROUP BY 1)
+            SELECT day, dau, dau7 FROM dau JOIN d7 USING (day) ORDER BY day""")
+  )
+
   val all: Seq[Q] = Seq(rollupStats, statAggs, percentiles, dateParts,
     intersectYears, exceptYears, pivotFlags, runningTotals, labelCentroids,
     fuzzyNames, distinctCounts, sqlCorrelated, distributionWindows, kmvSketch,
-    sampledQuantiles)
+    sampledQuantiles, cubeStats, unpivotMetrics, rollingDau)
 }
