@@ -608,7 +608,36 @@ object Recommender {
     }
   )
 
+  /** q34's ranking computed by the BOUNDED-STATE path: per-user top-3
+    * via [[graft.expr.TopKPairs]] (a size-k typed Aggregator that
+    * combines map-side) + posexplode, instead of the window's per-user
+    * full sort. IDENTICAL results and oracle to q34 — what differs is
+    * the failure mode under SKEW: a power user with a million ratings
+    * contributes k pairs to this shuffle, vs a million-row sort run
+    * inside one window task. On the fixture's benign degree (~30
+    * ratings/user) the codegen'd window sort is measurably the better
+    * plan (1.57 s vs 1.84 s at sf0.1 — typed ser/de isn't free), so the
+    * catalog keeps BOTH idioms: q34 as the default, this as the shape
+    * you switch to when the key distribution turns hostile. PlanSpec
+    * asserts the no-Window/ObjectHashAggregate shape. */
+  val userTopkAgg = Q(
+    "q95_user_topk_agg",
+    (s, d) => {
+      val topk = graft.expr.TopKPairs.agg(3)
+      Ratings.view(s, d)
+        .groupBy(col("user_id"))
+        .agg(topk(col("rating"), col("item_id")).as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("user_id"), col("p._2").as("item_id"),
+          round(col("p._1"), 6).as("rating"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .orderBy(col("user_id"), col("rank"))
+    },
+    userTopk.oracle
+  )
+
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
     graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy,
-    weightedLoss, bprLoss, mfGdTraining, bprGdTraining, lightgcnTraining)
+    weightedLoss, bprLoss, mfGdTraining, bprGdTraining, lightgcnTraining,
+    userTopkAgg)
 }

@@ -93,6 +93,13 @@ class PlanSpec extends SparkSpec {
       s"q77's k-min set is not a typed partial aggregate:\n$p")
   }
 
+  test("q95 per-key top-k aggregates with bounded state — no per-key window sort") {
+    val p = plan("q95_user_topk_agg")
+    assert(!p.contains("Window"), s"q95 regressed to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q95's top-k is not a typed partial aggregate:\n$p")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     // q17: orderBy+limit over orders; q32: the final cos-desc limit 50
     // after the pair aggregation — both must be a streaming top-k.

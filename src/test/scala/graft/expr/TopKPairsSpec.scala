@@ -1,0 +1,43 @@
+package graft.expr
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q95's bounded-state ranking must be indistinguishable from the window
+  * idiom it replaces — same ordering contract (score desc, id asc),
+  * any partitioning, duplicates and ties included. */
+class TopKPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopKPairs == row_number window ranking under any partitioning") {
+    val k = 4
+    // deterministic scores with heavy ties: score = i % 7
+    val rows = (1 to 5000).map(i => ((i % 37).toLong, (i % 7).toDouble, i.toLong))
+    val df = rows.toDF("key", "score", "id").repartition(11)
+
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val windowed = df.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"key", $"id", $"score", $"rank".cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val topk = TopKPairs.agg(k)
+    val agged = df.groupBy($"key").agg(topk($"score", $"id").as("top"))
+      .select($"key", posexplode($"top").as(Seq("pos", "p")))
+      .select($"key", $"p._2", $"p._1", ($"pos" + 1).cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    assert(agged == windowed)
+  }
+
+  test("TopKPairs returns all pairs when a key has fewer than k") {
+    val topk = TopKPairs.agg(10)
+    val got = Seq((1L, 2.0, 7L), (1L, 3.0, 5L)).toDF("key", "score", "id")
+      .groupBy($"key").agg(topk($"score", $"id").as("top"))
+      .select(explode($"top").as("p")).select($"p._1", $"p._2")
+      .as[(Double, Long)].collect().toSeq
+    assert(got == Seq((3.0, 5L), (2.0, 7L)))
+  }
+}
