@@ -307,6 +307,98 @@ object EventsQueries {
             FROM sa GROUP BY user_id, sid ORDER BY user_id, start_us""")
   )
 
+  /** Cohort retention curve — the product-analytics staple: users
+    * cohorted by their FIRST active day, then for each day-offset
+    * k = 0..7 the share of the cohort active again on cohort+k. Built
+    * from distinct (day, user) pairs, so the heavy input collapses
+    * before any join; cohort assignment is a min-agg and the curve is
+    * one shuffle on (cohort, k). All counts are exact integers. */
+  val retentionCurve = Q(
+    "q96_retention_curve",
+    (s, d) => {
+      val p = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id"))
+        .distinct().cache()
+      val first = p.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val sizes = first.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val act = p.join(first, Seq("user_id"))
+        .select(col("cohort"), (col("day") - col("cohort")).as("k"),
+          col("user_id"))
+        .where(col("k") <= 7)
+        .groupBy(col("cohort"), col("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      act.join(sizes, Seq("cohort"))
+        .select(col("cohort"), col("k"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retention"))
+        .orderBy(col("cohort"), col("k"))
+    },
+    Some("""WITH p AS (SELECT DISTINCT
+              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+            FROM events),
+            f AS (SELECT user_id, min(day) AS cohort FROM p GROUP BY 1),
+            sz AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1),
+            a AS (SELECT f.cohort, p.day - f.cohort AS k,
+                    count(DISTINCT p.user_id) AS n_active
+                  FROM p JOIN f USING (user_id)
+                  WHERE p.day - f.cohort <= 7 GROUP BY 1, 2)
+            SELECT cohort, k, n_active, n_cohort,
+                   round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+            FROM a JOIN sz USING (cohort) ORDER BY cohort, k""")
+  )
+
+  /** Ordered funnel (view → click → purchase): each step's timestamp
+    * must strictly follow the previous step's FIRST occurrence — the
+    * progressive min-join formulation (step k = min event time after
+    * step k−1's time), not a mere per-type existence check. Three
+    * bounded-key join+aggs; counts are exact integers. */
+  val funnel = Q(
+    "q97_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu")).cache()
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tu")).as("vt"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("tu") > col("vt"))
+        .groupBy(col("user_id")).agg(min(col("tu")).as("ct"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("tu") > col("ct"))
+        .groupBy(col("user_id")).agg(min(col("tu")).as("pt"))
+      val totals = e.agg(countDistinct(col("user_id")).as("n_users"))
+      totals
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+        .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view"), 6)
+            .as("view_to_click"),
+          round(col("n_purchase").cast("double") / col("n_click"), 6)
+            .as("click_to_purchase"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+            v AS (SELECT user_id, min(tu) AS vt FROM e
+                  WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(tu) AS ct FROM e JOIN v USING (user_id)
+                  WHERE event_type = 'click' AND tu > vt GROUP BY 1),
+            p AS (SELECT e.user_id, min(tu) AS pt FROM e JOIN c USING (user_id)
+                  WHERE event_type = 'purchase' AND tu > ct GROUP BY 1)
+            SELECT n_users, n_view, n_click, n_purchase,
+                   round(CAST(n_click AS DOUBLE) / n_view, 6) AS view_to_click,
+                   round(CAST(n_purchase AS DOUBLE) / n_click, 6)
+                     AS click_to_purchase
+            FROM (SELECT
+                    (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+                    (SELECT count(*) FROM v) AS n_view,
+                    (SELECT count(*) FROM c) AS n_click,
+                    (SELECT count(*) FROM p) AS n_purchase) t""")
+  )
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSessions, streamParse, jsonExtract,
-    eventsSliding, asofJoin, rangeJoin, replayDedup, sessionWindows)
+    eventsSliding, asofJoin, rangeJoin, replayDedup, sessionWindows,
+    retentionCurve, funnel)
 }
