@@ -24,6 +24,13 @@ object GraftFunctions {
       "built-in")
     spark.udf.register("rmse_agg",
       udaf(RmseAggregator, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
+    // the bounded-state synopsis aggregates (q77 / q95) on the SQL
+    // surface, at their catalog parameterizations
+    spark.udf.register("kmin_distinct64",
+      udaf(new KMinDistinct(64), Encoders.scalaLong))
+    spark.udf.register("top3_pairs",
+      udaf(new TopKPairs(3),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)))
   }
 
   /** One-pass character k-gram shingling (see [[CharShingles]]); requires

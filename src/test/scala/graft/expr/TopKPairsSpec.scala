@@ -32,6 +32,20 @@ class TopKPairsSpec extends SparkSpec {
     assert(agged == windowed)
   }
 
+  test("SQL surface: kmin_distinct64 and top3_pairs answer from plain SQL") {
+    GraftFunctions.register(spark)
+    Seq((1L, 3.0, 7L), (1L, 5.0, 2L), (1L, 5.0, 9L), (1L, 1.0, 4L))
+      .toDF("key", "score", "id").createOrReplaceTempView("tp_sql")
+    val top = spark.sql(
+      "SELECT top3_pairs(score, id) AS t FROM tp_sql GROUP BY key")
+      .selectExpr("transform(t, p -> p._2) AS ids")
+      .as[Seq[Long]].head()
+    assert(top == Seq(2L, 9L, 7L)) // 5.0@2, 5.0@9 (id tiebreak), 3.0@7
+    val kmin = spark.sql("SELECT kmin_distinct64(id) AS m FROM tp_sql")
+      .as[Seq[Long]].head()
+    assert(kmin == Seq(2L, 4L, 7L, 9L))
+  }
+
   test("TopKPairs returns all pairs when a key has fewer than k") {
     val topk = TopKPairs.agg(10)
     val got = Seq((1L, 2.0, 7L), (1L, 3.0, 5L)).toDF("key", "score", "id")
