@@ -104,4 +104,33 @@ class IoSpec extends SparkSpec {
     val back = spark.read.parquet(dir).as[(Int, String)].collect().sortBy(_._1)
     assert(back.toSeq == Seq((1, "a"), (2, "b")))
   }
+
+  test("S7+ every columnar/text sink round-trips a fixture slice losslessly") {
+    // the engine's data plane isn't parquet-only: ORC (columnar twin),
+    // JSON lines, and headered CSV all carry a real fixture slice through
+    // write + read-back with values intact. CSV/JSON need an explicit
+    // schema on read (text formats don't persist types; CSV also forces
+    // nullable=true — asserted VALUES, not nullability).
+    val src = graft.Tables.nation(spark, "/root/testdata/sf0.001")
+      .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"),
+        $"n_regionkey".cast("long").as("rk"))
+    val want = src.as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(want.size == 25)
+    val base = Files.createTempDirectory("graft-fmt")
+
+    val orcDir = base.resolve("orc").toString
+    src.coalesce(1).write.mode("overwrite").orc(orcDir)
+    assert(spark.read.orc(orcDir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq == want)
+
+    val jsonDir = base.resolve("json").toString
+    src.coalesce(1).write.mode("overwrite").json(jsonDir)
+    assert(spark.read.schema(src.schema).json(jsonDir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq == want)
+
+    val csvDir = base.resolve("csv").toString
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+    assert(spark.read.schema(src.schema).option("header", "true").csv(csvDir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq == want)
+  }
 }
