@@ -47,6 +47,81 @@ class GdMfSpec extends SparkSpec {
     }
   }
 
+  test("BPR training run equals a hand-rolled in-memory reference") {
+    val rank = 3
+    val lr = 0.5
+    val reg = 0.1
+    val epochs = 2
+    // per user: pos = max rating (min item tiebreak), neg = min rating
+    // (max item tiebreak); user 3 ties pos==neg rating -> dropped
+    val rows = Seq(
+      (1L, 10L, 4.0), (1L, 11L, 2.0), (1L, 12L, 3.0),
+      (2L, 10L, 5.0), (2L, 12L, 1.0),
+      (3L, 11L, 4.0), (3L, 12L, 4.0))
+
+    val got = GradientMF.bprTrainTrajectory(
+        rows.toDF("user_id", "item_id", "rating"), rank, lr, reg, epochs)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def init(kind: String, id: Long, f: Int): Double =
+      ((h32(s"$kind${id}_$f") % 1000) - 500).toDouble / 1000.0
+    // deterministic triples
+    val triples = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val pos = rs.minBy(r => (-r._3, r._2))
+      val neg = rs.minBy(r => (r._3, -r._2))
+      if (pos._3 > neg._3) Some((u, pos._2, neg._2)) else None
+    }.sortBy(_._1)
+    assert(triples.map(_._1) == Seq(1L, 2L)) // user 3 dropped by the tie rule
+    var uF = triples.map(_._1)
+      .map(u => u -> Array.tabulate(rank)(f => init("u", u, f))).toMap
+    var vF = triples.flatMap(t => Seq(t._2, t._3)).distinct
+      .map(i => i -> Array.tabulate(rank)(f => init("i", i, f))).toMap
+    def ds: Seq[(Long, Long, Long, Double)] = triples.map { case (u, p, n) =>
+      val d = (0 until rank)
+        .map(f => uF(u)(f) * (vF(p)(f) - vF(n)(f))).sum
+      (u, p, n, d)
+    }
+    def lossAcc: (Double, Double) = {
+      val all = ds
+      (all.map(t => math.log(1 + math.exp(-t._4))).sum / all.size,
+       all.count(t => BigDecimal(t._4).setScale(6,
+         BigDecimal.RoundingMode.HALF_UP) > 0).toDouble / all.size)
+    }
+    val want = Seq.newBuilder[(Double, Double)]
+    for (_ <- 0 until epochs) {
+      want += lossAcc
+      val cur = ds
+      val gu = cur.map { case (u, p, n, d) =>
+        val comp = 1.0 / (1.0 + math.exp(d))
+        u -> Array.tabulate(rank)(f => -comp * (vF(p)(f) - vF(n)(f)))
+      }.toMap
+      val gvContrib = cur.flatMap { case (u, p, n, d) =>
+        val comp = 1.0 / (1.0 + math.exp(d))
+        Seq(p -> Array.tabulate(rank)(f => -comp * uF(u)(f)),
+            n -> Array.tabulate(rank)(f => comp * uF(u)(f)))
+      }
+      val gv = gvContrib.groupBy(_._1).map { case (i, cs) =>
+        i -> Array.tabulate(rank)(f => cs.map(_._2(f)).sum / cs.size)
+      }
+      uF = uF.map { case (u, fv) => u -> fv.zipWithIndex.map {
+        case (v0, f) => v0 - lr * (gu(u)(f) + reg * v0) } }
+      vF = vF.map { case (i, fv) => i -> fv.zipWithIndex.map {
+        case (v0, f) => v0 - lr * (gv(i)(f) + reg * v0) } }
+    }
+    want += lossAcc
+    val ref = want.result()
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case ((_, l, a), (wl, wa)) =>
+      assert(math.abs(l - wl) < 1.1e-6 && math.abs(a - wa) < 1.1e-6,
+        s"got=${got.toSeq} want=$ref")
+    }
+  }
+
   test("training run equals a hand-rolled in-memory reference") {
     val rank = 3
     val lr = 0.5
