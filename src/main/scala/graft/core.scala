@@ -12,6 +12,21 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
 
+/** Stable per-session ids for session-scoped memo keys (q72 labels,
+  * q83 index dirs). `System.identityHashCode` is NOT stable enough — it
+  * can alias after a session is garbage-collected, serving a dead
+  * session's artifact to a new one. A [[java.util.WeakHashMap]] keyed by
+  * the live session object hands out one UUID per session and lets the
+  * entry vanish with the session; no alias is possible while the key is
+  * reachable.
+  */
+object SessionIds {
+  private val ids = new java.util.WeakHashMap[SparkSession, String]()
+  def of(s: SparkSession): String = ids.synchronized {
+    ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+  }
+}
+
 /** Parquet fixture-table loaders (TESTDATA.md).
   *
   * All reads go through `spark.read.parquet` so Catalyst gets native

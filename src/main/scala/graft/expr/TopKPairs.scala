@@ -18,9 +18,14 @@ final class TopKPairs(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, s"k must be positive, got $k")
 
-  /** score desc, id asc. */
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** score desc, id asc — via [[java.lang.Double.compare]] so NaN ranks
+    * LARGEST (raw `>`/`==` are always false for NaN, which would make a
+    * NaN score uninsertable), matching Spark's window `ORDER BY score
+    * DESC` total order that q95's contract promises. */
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

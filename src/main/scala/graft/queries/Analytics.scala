@@ -450,12 +450,17 @@ object Analytics {
     * it covers (a bounded 7× explode), then one hash countDistinct per
     * report day — shuffles carry (day, user) longs, frames never
     * materialize. Restricted to report days that actually have events,
-    * so DAU and DAU7 align row-for-row. */
+    * so DAU and DAU7 align row-for-row. Day buckets use FLOOR division
+    * (truncating `div` would fold pre-1970 micros into day 0's bucket),
+    * spelled as exact integer arithmetic — subtract the non-negative
+    * `pmod` remainder, then divide exactly — because day is a GROUP key
+    * and group keys must come from exact-integer bases. */
   val rollingDau = Q(
     "q94_rolling_dau",
     (s, d) => {
       val pairs = Tables.events(s, d)
-        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        .select(expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+            " div 86400000000").as("day"),
           col("user_id"))
         .distinct().cache()
       val expanded = pairs
@@ -469,9 +474,12 @@ object Analytics {
         .agg(countDistinct(col("user_id")).as("dau7"))
       dau.join(dau7, Seq("day")).orderBy(col("day"))
     },
-    Some("""WITH p AS (SELECT DISTINCT
-              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+    Some("""WITH e0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id
             FROM events),
+            p AS (SELECT DISTINCT
+              (us - ((us % 86400000000 + 86400000000) % 86400000000))
+                // 86400000000 AS day, user_id
+            FROM e0),
             ex AS (SELECT DISTINCT day + o AS day, user_id
                    FROM p CROSS JOIN (SELECT unnest(range(7)) AS o) os),
             dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM p GROUP BY 1),

@@ -312,12 +312,15 @@ object EventsQueries {
     * k = 0..7 the share of the cohort active again on cohort+k. Built
     * from distinct (day, user) pairs, so the heavy input collapses
     * before any join; cohort assignment is a min-agg and the curve is
-    * one shuffle on (cohort, k). All counts are exact integers. */
+    * one shuffle on (cohort, k). All counts are exact integers. Day
+    * buckets use exact-integer FLOOR division (see q94) so pre-1970
+    * micros can't fold into day 0. */
   val retentionCurve = Q(
     "q96_retention_curve",
     (s, d) => {
       val p = Tables.events(s, d)
-        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        .select(expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+            " div 86400000000").as("day"),
           col("user_id"))
         .distinct().cache()
       val first = p.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
@@ -335,9 +338,12 @@ object EventsQueries {
             .as("retention"))
         .orderBy(col("cohort"), col("k"))
     },
-    Some("""WITH p AS (SELECT DISTINCT
-              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+    Some("""WITH e0 AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id
             FROM events),
+            p AS (SELECT DISTINCT
+              (us - ((us % 86400000000 + 86400000000) % 86400000000))
+                // 86400000000 AS day, user_id
+            FROM e0),
             f AS (SELECT user_id, min(day) AS cohort FROM p GROUP BY 1),
             sz AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1),
             a AS (SELECT f.cohort, p.day - f.cohort AS k,

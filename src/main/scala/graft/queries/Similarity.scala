@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.{Q, SessionIds, Tables}
 import graft.expr.GraftFunctions
 
 /** Similarity search over the `embeddings` fixture (vec_id, embedding:
@@ -379,9 +379,27 @@ object Similarity {
   /** Built persistent-index dirs memoized per (session, dataset) — the
     * index is the artifact an ANN service materializes once per corpus
     * version and probes forever after (same semantics as q72's label
-    * memo). */
+    * memo). Keyed on a stable per-session UUID ([[graft.SessionIds]] —
+    * (stable for the session's lifetime — an identity hash can alias
+    * after GC and serve another session's index); every created dir is
+    * registered for recursive deletion at JVM shutdown so per-session
+    * indexes can't accumulate across a long-lived driver. */
   private val ivfIndexDirCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def deleteOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }))
+    dir
+  }
 
   /** The persistent-IVF face of q57: build the cid-PARTITIONED parquet
     * index once per dataset ([[graft.rec.IvfIndex.build]] — same seeded
@@ -401,9 +419,9 @@ object Similarity {
       val e = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val dir = ivfIndexDirCache.getOrElseUpdate(
-        (System.identityHashCode(s), d), {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft-ivf-catalog").toString
+        (SessionIds.of(s), d), {
+          val dir = deleteOnExit(java.nio.file.Files
+            .createTempDirectory("graft-ivf-catalog")).toString
           graft.rec.IvfIndex.build(e, dir, IvfK, IvfIters)
           dir
         })

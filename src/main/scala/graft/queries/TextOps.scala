@@ -5,7 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.{Q, SessionIds, Tables}
 
 /** Text analysis + deduplication over the `documents` fixture (doc_id,
   * text, lang, source, n_chars) — the training-data-pipeline text surface
@@ -359,9 +359,11 @@ object TextOps {
     * `.cache()`d plans, localCheckpoint results are NOT deduped by the
     * plan cache, so without this q78 (and a bench re-pass) re-executes
     * all propagation rounds. Deterministic per corpus version — exactly
-    * the artifact a dedup pipeline materializes once and reuses. */
+    * the artifact a dedup pipeline materializes once and reuses. Keyed
+    * on the session's stable `sessionUUID` — an identity hash can alias
+    * after GC and serve a dead session's labels. */
   private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** Drop memoized component labels so the next q72 invocation rebuilds
     * the propagation — used by the bench to time the real build instead
@@ -402,7 +404,7 @@ object TextOps {
         .join(l.select(col("doc_id").as("keeper"), col("keeper").as("k2")),
           Seq("keeper"))
         .select(col("doc_id"), col("k2").as("keeper"))
-      val labels = labelCache.getOrElseUpdate((System.identityHashCode(s), d),
+      val labels = labelCache.getOrElseUpdate((SessionIds.of(s), d),
         (1 to CcRounds).foldLeft(init) { (lab, _) =>
           val stepped = withSelf
             .join(lab.select(col("doc_id").as("src"), col("keeper")), Seq("src"))

@@ -174,7 +174,12 @@ object GradientMF {
         .join(v.select(col("item_id").as("neg_item"), col("f"),
           col("val").as("nval")), Seq("neg_item", "f"))
         .select(col("user_id"), col("f"),
-          (-col("comp") * (col("pval") - col("nval"))).as("grad"))
+          (-col("comp") * (col("pval") - col("nval"))).as("g"))
+        // one (pos, neg) pair per user today, but aggregate symmetrically
+        // with gv so the update join stays 1:1 per (user_id, f) even if
+        // the pair derivation ever yields multiple pairs per user
+        .groupBy(col("user_id"), col("f"))
+        .agg(avg(col("g")).as("grad"))
       val su = s.join(u.select(col("user_id"), col("f"),
         col("val").as("uval")), Seq("user_id"))
       val gv = su.select(col("pos_item").as("item_id"), col("f"),

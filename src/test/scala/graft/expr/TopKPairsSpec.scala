@@ -46,6 +46,26 @@ class TopKPairsSpec extends SparkSpec {
     assert(kmin == Seq(2L, 4L, 7L, 9L))
   }
 
+  test("TopKPairs ranks NaN largest, matching the window's ORDER BY DESC") {
+    val k = 2
+    val df = Seq((1L, 3.0, 7L), (1L, Double.NaN, 2L), (1L, 5.0, 9L),
+        (1L, Double.NaN, 4L))
+      .toDF("key", "score", "id").repartition(3)
+
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val windowed = df.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k).orderBy($"rank")
+      .select($"id").as[Long].collect().toSeq
+
+    val topk = TopKPairs.agg(k)
+    val agged = df.groupBy($"key").agg(topk($"score", $"id").as("top"))
+      .select(explode($"top").as("p")).select($"p._2")
+      .as[Long].collect().toSeq
+
+    assert(windowed == Seq(2L, 4L)) // both NaNs outrank 5.0, id tiebreak
+    assert(agged == windowed)
+  }
+
   test("TopKPairs returns all pairs when a key has fewer than k") {
     val topk = TopKPairs.agg(10)
     val got = Seq((1L, 2.0, 7L), (1L, 3.0, 5L)).toDF("key", "score", "id")
