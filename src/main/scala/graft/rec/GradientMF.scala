@@ -7,16 +7,22 @@ import org.apache.spark.sql.functions._
   * as joins + aggregations (M5's training semantics, relationally): the
   * reference trains its embeddings by gradient descent on rating error
   * (`/root/reference/src/csv/train_rmse.py:121-141`; MF-GD per Koren et
-  * al. 2009), and this is that loop with factor tables in LONG format —
-  * `(id, f, val)` — so the rank is data, not schema, and every training
-  * step is a bounded-key shuffle:
+  * al. 2009), and this is that loop with factor tables holding ONE
+  * rank-length vector per id — `(id, val: array<double>)` — the layout
+  * every production trainer materializes (MLlib ALS's factor tables are
+  * the same shape), because it is the one that scales: each epoch's
+  * shuffles carry row counts INDEPENDENT of rank (a long `(id, f, val)`
+  * layout ships rank× the rows through every edge-keyed join — 64× at a
+  * realistic rank-64), and the dot product needs no groupBy at all:
   *
-  *  - predict: ratings ⋈ U ⋈ V, `sum(u·v)` grouped by (user, item);
-  *  - gradient: prediction error ⋈ the opposite factor table, `avg`
-  *    grouped by (id, f) — per-example-normalized so step size is
-  *    degree-independent (a power user's gradient is the mean over
-  *    their ratings, not the sum);
-  *  - update: `val ← val − lr·(grad + λ·val)`, a 1:1 join.
+  *  - predict: ratings ⋈ U ⋈ V on the id keys alone (both factor sides
+  *    are broadcastable dimension tables), error per rating row as a
+  *    map-side fixed-order `zip_with`/`aggregate` fold — no shuffle;
+  *  - gradient: one narrow groupBy per side over the rating rows,
+  *    per-element `avg(err · otherVec[i])` — per-example-normalized so
+  *    step size is degree-independent (a power user's gradient is the
+  *    mean over their ratings, not the sum);
+  *  - update: `val ← val − lr·(grad + λ·val)`, a 1:1 join + `zip_with`.
   *
   * Each epoch's factor tables are eagerly `localCheckpoint`ed — the
   * update references its input twice (gradient + update term), so as
@@ -28,10 +34,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: factors initialize from the shared md5-prefix hash
   * (exact integers → exact doubles in [−0.5, 0.499]), the global mean
-  * is subtracted from ratings (the residual model), and the whole loop
-  * is pure joins/aggs — so the identical computation is expressible as
-  * unrolled SQL CTEs and the TRAINING ITSELF is oracle-checkable
-  * (q86_mf_gd_training).
+  * is subtracted from ratings (the residual model), dot products fold
+  * f = 0..rank−1 in fixed order, and the whole loop is pure
+  * joins/aggs — so the identical computation is expressible as unrolled
+  * SQL CTEs and the TRAINING ITSELF is oracle-checkable
+  * (q86_mf_gd_training; the oracle spells the same math over a long
+  * `(id, f, val)` relation, which DuckDB is happier unrolling).
   */
 object GradientMF {
 
@@ -42,6 +50,26 @@ object GradientMF {
   private def initVal(kind: String, id: Column, f: Column): Column =
     ((h32(concat(lit(kind), id.cast("string"), lit("_"), f.cast("string")))
       % 1000) - 500).cast("double") / 1000.0
+
+  /** The rank-length hash-init vector for one id — element f is exactly
+    * the long-format `initVal(kind, id, f)`, so the array layout changes
+    * nothing about what is computed. */
+  private def initVec(kind: String, id: Column, rank: Int): Column =
+    array((0 until rank).map(f => initVal(kind, id, lit(f.toLong))): _*)
+
+  /** Fixed-order dot product (f ascending) — a codegen'd fold, no agg. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** One aggregated rank-length vector: element i is `mk(i)` (an
+    * aggregate expression), assembled with `array` so a whole gradient
+    * vector is a single agg column. */
+  private def vecAgg(rank: Int)(mk: Int => Column): Column =
+    array((0 until rank).map(mk): _*)
+
+  /** `val ← val − lr·(grad + λ·val)`, elementwise. */
+  private def axpyUpdate(v: Column, g: Column, lr: Double, reg: Double): Column =
+    zip_with(v, g, (x, gx) => x - lit(lr) * (gx + lit(reg) * x))
 
   /** Train `epochs` full-batch GD epochs of rank-`rank` MF on
     * `ratings` (user_id, item_id, rating); returns the per-epoch RMSE
@@ -54,22 +82,21 @@ object GradientMF {
       .select(col("user_id"), col("item_id"),
         (col("rating") - col("mu")).as("res"))
       .cache()
-    val fs = res.sparkSession.range(rank).select(col("id").as("f"))
 
     def init(kind: String, idCol: String): DataFrame =
       res.select(col(idCol)).distinct()
-        .crossJoin(broadcast(fs))
-        .select(col(idCol), col("f"),
-          initVal(kind, col(idCol), col("f")).as("val"))
+        .select(col(idCol), initVec(kind, col(idCol), rank).as("val"))
 
+    /** Per-rating error rows, carrying both factor vectors so the two
+      * gradient aggregations read this one checkpointed relation
+      * without any further join. */
     def predictions(u: DataFrame, v: DataFrame): DataFrame =
       res
-        .join(u.select(col("user_id"), col("f"), col("val").as("uv")),
-          Seq("user_id"))
-        .join(v.select(col("item_id"), col("f"), col("val").as("vv")),
-          Seq("item_id", "f"))
-        .groupBy(col("user_id"), col("item_id"), col("res"))
-        .agg((sum(col("uv") * col("vv")) - col("res")).as("err"))
+        .join(u.select(col("user_id"), col("val").as("uv")), Seq("user_id"))
+        .join(v.select(col("item_id"), col("val").as("vv")), Seq("item_id"))
+        .select(col("user_id"), col("item_id"),
+          (dot(col("uv"), col("vv")) - col("res")).as("err"),
+          col("uv"), col("vv"))
 
     def epochLoss(k: Int, p: DataFrame): DataFrame =
       p.agg(round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
@@ -82,19 +109,17 @@ object GradientMF {
       // p feeds the loss and BOTH gradients — checkpoint once per epoch
       val p = predictions(u, v).localCheckpoint(true)
       losses += epochLoss(k, p)
-      val gu = p.join(v, Seq("item_id"))
-        .groupBy(col("user_id"), col("f"))
-        .agg(avg(col("err") * col("val")).as("grad"))
-      val gv = p.join(u, Seq("user_id"))
-        .groupBy(col("item_id"), col("f"))
-        .agg(avg(col("err") * col("val")).as("grad"))
-      u = u.join(gu, Seq("user_id", "f"))
-        .select(col("user_id"), col("f"),
-          (col("val") - lit(lr) * (col("grad") + lit(reg) * col("val"))).as("val"))
+      val gu = p.groupBy(col("user_id"))
+        .agg(vecAgg(rank)(i => avg(col("err") * col("vv")(i))).as("grad"))
+      val gv = p.groupBy(col("item_id"))
+        .agg(vecAgg(rank)(i => avg(col("err") * col("uv")(i))).as("grad"))
+      u = u.join(gu, Seq("user_id"))
+        .select(col("user_id"),
+          axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .localCheckpoint(true)
-      v = v.join(gv, Seq("item_id", "f"))
-        .select(col("item_id"), col("f"),
-          (col("val") - lit(lr) * (col("grad") + lit(reg) * col("val"))).as("val"))
+      v = v.join(gv, Seq("item_id"))
+        .select(col("item_id"),
+          axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .localCheckpoint(true)
     }
     losses += epochLoss(epochs, predictions(u, v))
@@ -105,7 +130,7 @@ object GradientMF {
     * top-N training objective, `/root/reference/src/csv/train_topn.py:
     * 98-109`) over the deterministic per-user (pos, neg) item pair
     * (q82's triple rule: top-rated vs bottom-rated, kept where the
-    * ratings strictly differ). Same long-format factors, hash init and
+    * ratings strictly differ). Same vector factors, hash init and
     * per-epoch checkpointing as [[trainTrajectory]]; the pairwise score
     * is d = u·(v_pos − v_neg), the loss ln(1+e^−d), and the gradients
     * ride the closed form dL/dd = −1/(1+e^d). Returns the per-epoch
@@ -131,23 +156,23 @@ object GradientMF {
       .where(col("pos_r") > col("neg_r"))
       .select(col("user_id"), col("pos_item"), col("neg_item"))
       .cache()
-    val fs = ratings.sparkSession.range(rank).select(col("id").as("f"))
 
     def init(kind: String, ids: DataFrame, idCol: String): DataFrame =
-      ids.crossJoin(broadcast(fs))
-        .select(col(idCol), col("f"),
-          initVal(kind, col(idCol), col("f")).as("val"))
+      ids.select(col(idCol), initVec(kind, col(idCol), rank).as("val"))
 
+    /** Per-pair score rows carrying all three factor vectors, so loss
+      * and both gradients read one checkpointed relation. */
     def scores(u: DataFrame, v: DataFrame): DataFrame =
       tr
-        .join(u.select(col("user_id"), col("f"), col("val").as("uval")),
-          Seq("user_id"))
-        .join(v.select(col("item_id").as("pos_item"), col("f"),
-          col("val").as("pval")), Seq("pos_item", "f"))
-        .join(v.select(col("item_id").as("neg_item"), col("f"),
-          col("val").as("nval")), Seq("neg_item", "f"))
-        .groupBy(col("user_id"), col("pos_item"), col("neg_item"))
-        .agg(sum(col("uval") * (col("pval") - col("nval"))).as("d"))
+        .join(u.select(col("user_id"), col("val").as("uval")), Seq("user_id"))
+        .join(v.select(col("item_id").as("pos_item"),
+          col("val").as("pval")), Seq("pos_item"))
+        .join(v.select(col("item_id").as("neg_item"),
+          col("val").as("nval")), Seq("neg_item"))
+        .select(col("user_id"), col("pos_item"), col("neg_item"),
+          dot(col("uval"), zip_with(col("pval"), col("nval"),
+            (p, n) => p - n)).as("d"),
+          col("uval"), col("pval"), col("nval"))
 
     def epochLoss(k: Int, d: DataFrame): DataFrame =
       d.agg(
@@ -168,33 +193,28 @@ object GradientMF {
       val d = scores(u, v).localCheckpoint(true)
       losses += epochLoss(k, d)
       val s = d.withColumn("comp", lit(1.0) / (lit(1.0) + exp(col("d"))))
+      // one (pos, neg) pair per user today, but aggregate symmetrically
+      // with gv so the update join stays 1:1 per user_id even if the
+      // pair derivation ever yields multiple pairs per user
       val gu = s
-        .join(v.select(col("item_id").as("pos_item"), col("f"),
-          col("val").as("pval")), Seq("pos_item"))
-        .join(v.select(col("item_id").as("neg_item"), col("f"),
-          col("val").as("nval")), Seq("neg_item", "f"))
-        .select(col("user_id"), col("f"),
-          (-col("comp") * (col("pval") - col("nval"))).as("g"))
-        // one (pos, neg) pair per user today, but aggregate symmetrically
-        // with gv so the update join stays 1:1 per (user_id, f) even if
-        // the pair derivation ever yields multiple pairs per user
-        .groupBy(col("user_id"), col("f"))
-        .agg(avg(col("g")).as("grad"))
-      val su = s.join(u.select(col("user_id"), col("f"),
-        col("val").as("uval")), Seq("user_id"))
-      val gv = su.select(col("pos_item").as("item_id"), col("f"),
-          (-col("comp") * col("uval")).as("c"))
-        .unionAll(su.select(col("neg_item").as("item_id"), col("f"),
-          (col("comp") * col("uval")).as("c")))
-        .groupBy(col("item_id"), col("f"))
-        .agg(avg(col("c")).as("grad"))
-      u = u.join(gu, Seq("user_id", "f"))
-        .select(col("user_id"), col("f"),
-          (col("val") - lit(lr) * (col("grad") + lit(reg) * col("val"))).as("val"))
+        .select(col("user_id"),
+          zip_with(col("pval"), col("nval"),
+            (p, n) => -col("comp") * (p - n)).as("g"))
+        .groupBy(col("user_id"))
+        .agg(vecAgg(rank)(i => avg(col("g")(i))).as("grad"))
+      val gv = s.select(col("pos_item").as("item_id"),
+          transform(col("uval"), x => -col("comp") * x).as("c"))
+        .unionAll(s.select(col("neg_item").as("item_id"),
+          transform(col("uval"), x => col("comp") * x).as("c")))
+        .groupBy(col("item_id"))
+        .agg(vecAgg(rank)(i => avg(col("c")(i))).as("grad"))
+      u = u.join(gu, Seq("user_id"))
+        .select(col("user_id"),
+          axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .localCheckpoint(true)
-      v = v.join(gv, Seq("item_id", "f"))
-        .select(col("item_id"), col("f"),
-          (col("val") - lit(lr) * (col("grad") + lit(reg) * col("val"))).as("val"))
+      v = v.join(gv, Seq("item_id"))
+        .select(col("item_id"),
+          axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .localCheckpoint(true)
     }
     losses += epochLoss(epochs, scores(u, v))
@@ -216,11 +236,13 @@ object GradientMF {
     *    side, and the whole trainer stays relational;
     *  - update: `val ← val − lr·(grad + λ·val)` on the BASE tables.
     *
-    * Per-example-mean gradient normalization and per-epoch
-    * checkpointing as [[trainTrajectory]]. Returns the per-epoch RMSE
-    * of the PROPAGATED model — the quantity LightGCN actually trains —
-    * and the full run (propagation + backprop + updates) unrolls into
-    * SQL, so q88's oracle verifies gradient flow through the graph. */
+    * The propagation join+agg carries one vector per edge row — rank
+    * never multiplies the edge shuffle. Per-example-mean gradient
+    * normalization and per-epoch checkpointing as [[trainTrajectory]].
+    * Returns the per-epoch RMSE of the PROPAGATED model — the quantity
+    * LightGCN actually trains — and the full run (propagation +
+    * backprop + updates) unrolls into SQL, so q88's oracle verifies
+    * gradient flow through the graph. */
   def lightgcnTrainTrajectory(ratings: DataFrame, rank: Int, lr: Double,
                               reg: Double, epochs: Int): DataFrame = {
     val g = ratings.agg(avg(col("rating")).as("mu"))
@@ -234,36 +256,32 @@ object GradientMF {
       .select(col("user_id"), col("item_id"),
         (lit(1.0) / sqrt(col("du") * col("di"))).as("w"))
       .cache()
-    val fs = res.sparkSession.range(rank).select(col("id").as("f"))
 
     def init(kind: String, idCol: String): DataFrame =
       res.select(col(idCol)).distinct()
-        .crossJoin(broadcast(fs))
-        .select(col(idCol), col("f"),
-          initVal(kind, col(idCol), col("f")).as("val"))
+        .select(col(idCol), initVec(kind, col(idCol), rank).as("val"))
 
     /** (base + Σ_edge w·other)/2 — the forward half-layer; with a
-      * gradient table as `other` it is equally the backward pass. */
+      * gradient table as `other` it is equally the backward pass. One
+      * edge join + one per-element weighted-sum agg, rows = edges. */
     def mix(base: DataFrame, other: DataFrame, baseId: String,
-            otherId: String, valCol: String): DataFrame = {
+            otherId: String): DataFrame = {
       val agg = ed.join(
-          other.select(col(otherId), col("f"), col(valCol).as("ov")),
-          Seq(otherId))
-        .groupBy(col(baseId), col("f"))
-        .agg(sum(col("w") * col("ov")).as("s"))
-      base.join(agg, Seq(baseId, "f"))
-        .select(col(baseId), col("f"),
-          ((col(valCol) + col("s")) / 2).as(valCol))
+          other.select(col(otherId), col("val").as("ov")), Seq(otherId))
+        .groupBy(col(baseId))
+        .agg(vecAgg(rank)(i => sum(col("w") * col("ov")(i))).as("s"))
+      base.join(agg, Seq(baseId))
+        .select(col(baseId),
+          zip_with(col("val"), col("s"), (a, b) => (a + b) / 2).as("val"))
     }
 
     def predictions(up: DataFrame, vp: DataFrame): DataFrame =
       res
-        .join(up.select(col("user_id"), col("f"), col("val").as("uv")),
-          Seq("user_id"))
-        .join(vp.select(col("item_id"), col("f"), col("val").as("vv")),
-          Seq("item_id", "f"))
-        .groupBy(col("user_id"), col("item_id"), col("res"))
-        .agg((sum(col("uv") * col("vv")) - col("res")).as("err"))
+        .join(up.select(col("user_id"), col("val").as("uv")), Seq("user_id"))
+        .join(vp.select(col("item_id"), col("val").as("vv")), Seq("item_id"))
+        .select(col("user_id"), col("item_id"),
+          (dot(col("uv"), col("vv")) - col("res")).as("err"),
+          col("uv"), col("vv"))
 
     def epochLoss(k: Int, p: DataFrame): DataFrame =
       p.agg(round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
@@ -273,30 +291,32 @@ object GradientMF {
     var v = init("i", "item_id").localCheckpoint(true)
     val losses = Seq.newBuilder[DataFrame]
     for (k <- 0 until epochs) {
-      val up = mix(u, v, "user_id", "item_id", "val").localCheckpoint(true)
-      val vp = mix(v, u, "item_id", "user_id", "val").localCheckpoint(true)
+      val up = mix(u, v, "user_id", "item_id").localCheckpoint(true)
+      val vp = mix(v, u, "item_id", "user_id").localCheckpoint(true)
       val p = predictions(up, vp).localCheckpoint(true)
       losses += epochLoss(k, p)
-      val gup = p.join(vp, Seq("item_id"))
-        .groupBy(col("user_id"), col("f"))
-        .agg(avg(col("err") * col("val")).as("grad")).cache()
-      val gvp = p.join(up, Seq("user_id"))
-        .groupBy(col("item_id"), col("f"))
-        .agg(avg(col("err") * col("val")).as("grad")).cache()
-      val gu = mix(gup, gvp, "user_id", "item_id", "grad")
-      val gv = mix(gvp, gup, "item_id", "user_id", "grad")
-      u = u.join(gu, Seq("user_id", "f"))
-        .select(col("user_id"), col("f"),
-          (col("val") - lit(lr) * (col("grad") + lit(reg) * col("val"))).as("val"))
+      val gup = p.groupBy(col("user_id"))
+        .agg(vecAgg(rank)(i => avg(col("err") * col("vv")(i))).as("val"))
+        .cache()
+      val gvp = p.groupBy(col("item_id"))
+        .agg(vecAgg(rank)(i => avg(col("err") * col("uv")(i))).as("val"))
+        .cache()
+      val gu = mix(gup, gvp, "user_id", "item_id")
+      val gv = mix(gvp, gup, "item_id", "user_id")
+      u = u.join(gu.select(col("user_id"), col("val").as("grad")),
+          Seq("user_id"))
+        .select(col("user_id"),
+          axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .localCheckpoint(true)
-      v = v.join(gv, Seq("item_id", "f"))
-        .select(col("item_id"), col("f"),
-          (col("val") - lit(lr) * (col("grad") + lit(reg) * col("val"))).as("val"))
+      v = v.join(gv.select(col("item_id"), col("val").as("grad")),
+          Seq("item_id"))
+        .select(col("item_id"),
+          axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .localCheckpoint(true)
     }
     losses += epochLoss(epochs, predictions(
-      mix(u, v, "user_id", "item_id", "val"),
-      mix(v, u, "item_id", "user_id", "val")))
+      mix(u, v, "user_id", "item_id"),
+      mix(v, u, "item_id", "user_id")))
     losses.result().reduce(_ unionAll _).orderBy(col("epoch"))
   }
 }
