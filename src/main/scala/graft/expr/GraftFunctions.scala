@@ -31,6 +31,14 @@ object GraftFunctions {
     spark.udf.register("top3_pairs",
       udaf(new TopKPairs(3),
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)))
+    // frequency / membership synopses (q98 / q99) at their catalog
+    // parameterizations; both take a pre-hashed array<bigint> of
+    // positions, so the hash family stays a shared relational expression
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    spark.udf.register("cms_4x256",
+      udaf(new CountMinSketch(4, 256), ExpressionEncoder[Array[Long]]()))
+    spark.udf.register("bloom_2048",
+      udaf(new BloomBits(2048), ExpressionEncoder[Array[Long]]()))
   }
 
   /** One-pass character k-gram shingling (see [[CharShingles]]); requires

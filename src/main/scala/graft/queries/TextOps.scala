@@ -772,8 +772,213 @@ object TextOps {
             FROM ex LEFT JOIN sm USING (t)""")
   )
 
+  // ---- mergeable frequency / membership sketches -----------------------
+
+  private val CmsD = 4
+  private val CmsW = 256
+
+  /** The d flattened CMS cell indexes (i·w + bucket_i) of one token —
+    * the shared md5-prefix hash family, salted per row, so the oracle
+    * reproduces the cells bit-exactly. */
+  private def cmsCells(t: Column): Column =
+    transform(sequence(lit(0), lit(CmsD - 1)), i =>
+      i.cast("long") * CmsW +
+        pmod(h32(concat(lit("cm"), i.cast("string"), lit("_"), t)),
+          lit(CmsW.toLong)))
+
+  /** Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    * build a d×w counter table over ALL token occurrences as ONE
+    * bounded-state aggregate ([[graft.expr.CountMinSketch]] — O(d·w)
+    * per map task, merge = elementwise add, the sketch family's third
+    * member next to q77's KMV and q90's sampling), then read back the
+    * estimate `min_i cells[bucket_i(t)]` for the exact top-20 tokens and
+    * report estimate vs truth — the q66/q67 acceptance idiom. The
+    * overestimate is structurally ≥ 0 (CMS never undercounts), and
+    * every number is an exact integer, so the oracle — which rebuilds
+    * the same cells by summing per-token counts per (row, bucket) in
+    * SQL — matches bit-for-bit. At 100 TB the exact path shuffles the
+    * corpus's full token stream; the sketch ships a few KB per task. */
+  val cmsHeavyHitters = Q(
+    "q98_cms_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+      val sk = toks.agg(
+        graft.expr.CountMinSketch.agg(CmsD, CmsW)(cmsCells(col("t")))
+          .as("cells"))
+      val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+      val top = cnt.orderBy(col("n_exact").desc, col("t")).limit(20)
+      top.crossJoin(broadcast(sk))
+        .select(col("t"), col("n_exact"),
+          array_min(transform(cmsCells(col("t")), p =>
+            element_at(col("cells"), (p + 1).cast("int")))).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("t"))
+    },
+    Some(s"""WITH toks AS (SELECT t FROM (
+              SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+              WHERE t <> ''),
+            cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_exact
+                    FROM toks GROUP BY 1),
+            hi AS (SELECT unnest(range($CmsD)) AS i),
+            pos AS (SELECT c.t, c.n_exact, hi.i,
+                    ${h32Sql("'cm' || CAST(hi.i AS VARCHAR) || '_' || c.t")}
+                      % $CmsW AS bucket
+                    FROM cnt c CROSS JOIN hi),
+            cells AS (SELECT i, bucket, CAST(sum(n_exact) AS BIGINT) AS cell
+                      FROM pos GROUP BY 1, 2),
+            top AS (SELECT t FROM cnt ORDER BY n_exact DESC, t LIMIT 20),
+            est AS (SELECT p.t, p.n_exact, min(cl.cell) AS cms_est
+                    FROM pos p JOIN top tp ON tp.t = p.t
+                    JOIN cells cl ON cl.i = p.i AND cl.bucket = p.bucket
+                    GROUP BY 1, 2)
+            SELECT t, n_exact, cms_est, cms_est - n_exact AS overcount
+            FROM est ORDER BY n_exact DESC, t""")
+  )
+
+  private val BloomM = 2048
+  private val BloomK = 3
+
+  /** The k Bloom bit positions of one gram (shared hash family). */
+  private def bloomPos(c: Column): Column =
+    transform(sequence(lit(0), lit(BloomK - 1)), j =>
+      pmod(h32(concat(lit("bf"), j.cast("string"), lit("_"), c)),
+        lit(BloomM.toLong)))
+
+  /** Bloom-filter decontamination — q74's semantics with the benchmark
+    * gram SET compressed to [[BloomM]] bits ([[graft.expr.BloomBits]]:
+    * merge = OR, O(m) state): the corpus side tests its grams MAP-SIDE
+    * against the broadcast bit array (`forall` over shiftright bit
+    * probes — no join touches the corpus gram stream), which is the
+    * shape that survives a benchmark suite too big to broadcast
+    * exactly. The price is a one-sided error, and the query REPORTS it:
+    * per doc, grams flagged by the filter vs grams exactly shared
+    * (q74's join), `n_false_pos = n_bloom − n_exact ≥ 0`; a Bloom
+    * filter can never miss a truly contaminated gram. All counts exact
+    * integers; the oracle models the bit array as the set of set
+    * positions. */
+  val bloomDecontamination = Q(
+    "q99_bloom_decontam",
+    (s, d) => {
+      val g = wordGrams(s, d, 4)
+      val bench = g.where(col("doc_id") % 20 === 0).select(col("s")).distinct()
+      val bloom = bench.agg(
+        graft.expr.BloomBits.agg(BloomM)(bloomPos(col("s"))).as("bits"))
+      val gd = g.where(col("doc_id") % 20 =!= 0).distinct()
+      val isSet = (p: Column) => {
+        val word = element_at(col("bits"),
+          (((p - pmod(p, lit(32L))) / 32) + 1).cast("int"))
+        (call_function("shiftright", word, pmod(p, lit(32L)).cast("int"))
+          % 2) === 1
+      }
+      gd.crossJoin(broadcast(bloom))
+        .withColumn("bloom_hit",
+          when(forall(bloomPos(col("s")), isSet), 1L).otherwise(0L))
+        .join(broadcast(bench.select(col("s"), lit(1L).as("hit"))),
+          Seq("s"), "left")
+        .withColumn("ex_hit", when(col("hit").isNotNull, 1L).otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("bloom_hit")).as("n_bloom"),
+          sum(col("ex_hit")).as("n_exact"))
+        .withColumn("n_false_pos", col("n_bloom") - col("n_exact"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            g AS (${wordGramsSql(4)}),
+            b AS (SELECT DISTINCT s FROM g WHERE doc_id % 20 = 0),
+            hj AS (SELECT unnest(range($BloomK)) AS j),
+            bits AS (SELECT DISTINCT
+              ${h32Sql("'bf' || CAST(j AS VARCHAR) || '_' || s")} % $BloomM AS p
+              FROM b CROSS JOIN hj),
+            gd AS (SELECT DISTINCT doc_id, s FROM g WHERE doc_id % 20 <> 0),
+            gp AS (SELECT gd.doc_id, gd.s,
+              ${h32Sql("'bf' || CAST(j AS VARCHAR) || '_' || gd.s")} % $BloomM AS p
+              FROM gd CROSS JOIN hj),
+            fl AS (SELECT doc_id, s,
+                     CASE WHEN count(bits.p) = $BloomK THEN 1 ELSE 0 END AS bloom_hit
+                   FROM gp LEFT JOIN bits USING (p) GROUP BY 1, 2),
+            exf AS (SELECT gd.doc_id, gd.s,
+                      CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS ex_hit
+                    FROM gd LEFT JOIN b ON b.s = gd.s)
+            SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(f.bloom_hit) AS BIGINT) AS n_bloom,
+                   CAST(sum(e.ex_hit) AS BIGINT) AS n_exact,
+                   CAST(sum(f.bloom_hit) - sum(e.ex_hit) AS BIGINT) AS n_false_pos
+            FROM fl f JOIN exf e ON e.doc_id = f.doc_id AND e.s = f.s
+            GROUP BY 1 ORDER BY f.doc_id""")
+  )
+
+  /** BM25 relevance ranking (Robertson & Walker 1994; k1 = 1.2,
+    * b = 0.75) — the retrieval face of the text surface: query terms
+    * are derived FROM the corpus (document-frequency ranks 5–7, via
+    * bounded orderBy+limit — no global row_number window), so the query
+    * is deterministic without assuming fixture content. tf / df /
+    * doc-length are exact integers; each per-term partial score is
+    * rounded to 6dp BEFORE the per-doc sum (q82's libm-parity rule) so
+    * the sum is order-independent, then the ranking key is the rounded
+    * total with doc_id tiebreak. Shapes: df and tf are one
+    * map-combinable groupBy each, the query-term table broadcasts, and
+    * the final top-15 is a TakeOrdered — nothing touches scale. */
+  val bm25 = Q(
+    "q100_bm25",
+    (s, d) => {
+      // constants written as the same parsed literals the oracle uses
+      // (1.2 + 1 computed in double is a round-to-even tie against the
+      // parsed literal 2.2 — don't derive, spell)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val dfq = toks.select(col("doc_id"), col("t")).distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val qterms = dfq.orderBy(col("df").desc, col("t")).limit(7)
+        .orderBy(col("df").asc, col("t").desc).limit(3)
+      val tf = toks.join(broadcast(qterms), Seq("t"))
+        .groupBy(col("doc_id"), col("t"), col("df"))
+        .agg(count(lit(1)).as("tf"))
+      tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(log(lit(1.0) +
+              (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl") * col("n_docs") / col("tot"))), 6).as("sc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), round(sum(col("sc")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some("""WITH toks AS (SELECT doc_id, t FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents) u WHERE t <> ''),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM toks GROUP BY 1),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+            dfq AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM toks GROUP BY 1),
+            qt AS (SELECT t, df FROM (
+              SELECT t, df, row_number() OVER (ORDER BY df DESC, t) AS rn
+              FROM dfq) r WHERE rn BETWEEN 5 AND 7),
+            tf AS (SELECT k.doc_id, k.t, qt.df, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks k JOIN qt ON qt.t = k.t GROUP BY 1, 2, 3),
+            sc AS (SELECT tf.doc_id,
+                     round(ln(1.0 + (st.n_docs - tf.df + 0.5) / (tf.df + 0.5)) *
+                       (tf.tf * 2.2) /
+                       (tf.tf + 1.2 * (0.25 +
+                         0.75 * dl.dl * st.n_docs / st.tot)), 6) AS sc
+                   FROM tf JOIN dl USING (doc_id) CROSS JOIN st)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(sum(sc), 6) AS score
+            FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
-    cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters)
+    cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters,
+    cmsHeavyHitters, bloomDecontamination, bm25)
 }
