@@ -432,6 +432,53 @@ object Similarity {
     ivfAnn.oracle
   )
 
+  /** Cluster-blocked semantic near-dup — the THIRD embedding-dedup path
+    * next to the exact anchor (q21) and banded LSH (q22): assign every
+    * vector to its nearest k-means cell (the same oracle-checked Lloyd
+    * quantizer as q57, nprobe = 1) and compare pairs ONLY within a cell.
+    * This is the blocking idiom of q53's fuzzy matching applied to
+    * embeddings — candidate generation is one equi-join on cid, so the
+    * quadratic term is bounded by the largest CELL, not the corpus
+    * (n²/K per cell in expectation; K grows with the corpus at scale,
+    * and a skewed cell is exactly what AQE skew-join / salting handles).
+    * LSH wins when recall must be tunable bandwise; cluster blocking
+    * wins when an IVF quantizer ALREADY exists (one artifact serves
+    * both ANN probing and dedup) — which is why both are in the
+    * catalog. Results are the subset of q21's exact pairs whose members
+    * land in the same cell; the oracle reruns the identical unrolled
+    * Lloyd rounds, so blocking itself is oracle-checked. */
+  val clusterNeardup = Q(
+    "q101_cluster_neardup",
+    (s, d) => {
+      import graft.rec.Clustering
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding"),
+          col("embedding").cast("array<double>").as("emb"))
+      val cent = Clustering.lloydKMeans(
+        e.select(col("vec_id"), col("emb")), IvfK, IvfIters).cache()
+      val cells = Clustering.assignCells(
+        e.select(col("vec_id"), col("emb")), cent, nprobe = 1)
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val a = cells.select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"))
+      val b = cells.select(col("cid"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"))
+      a.join(b, Seq("cid"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("score",
+          GraftFunctions.cosineSimilarity(col("ea"), col("eb")))
+        .where(col("score") >= Threshold)
+        .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""$ivfCtes
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            round(list_cosine_similarity(a.emb, b.emb), 6) AS score
+          FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.emb, b.emb) >= $Threshold
+          ORDER BY a_id, b_id""")
+  )
+
   val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn,
-    lshRecall, ivfRecall, ivfIndexProbe)
+    lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup)
 }
