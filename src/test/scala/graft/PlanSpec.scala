@@ -100,6 +100,26 @@ class PlanSpec extends SparkSpec {
       s"q95's top-k is not a typed partial aggregate:\n$p")
   }
 
+  test("q98 CMS builds as one bounded partial aggregate — no window, no join") {
+    // The d×w table must come from a single ObjectHashAggregate pass
+    // over the token stream (merge = elementwise add); candidate
+    // estimates then read the broadcast one-row sketch.
+    val p = plan("q98_cms_heavy_hitters")
+    assert(!p.contains("Window"), s"q98 plans a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q98's sketch is not a typed partial aggregate:\n$p")
+  }
+
+  test("q99 bloom probe is map-side — no corpus-side gram join for the filter") {
+    // The corpus gram stream must meet the bit array via a broadcast
+    // (one-row) join only; the exact-comparison join is broadcast too.
+    // A SortMergeJoin anywhere means the filter stopped being a
+    // broadcast bit test.
+    val p = plan("q99_bloom_decontam")
+    assert(!p.contains("SortMergeJoin"),
+      s"q99's probe regressed to a shuffle join:\n$p")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     // q17: orderBy+limit over orders; q32: the final cos-desc limit 50
     // after the pair aggregation — both must be a streaming top-k.

@@ -33,6 +33,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming CMS: the sketch aggregates incrementally and equals batch") {
+    // q98's Count-Min synopsis as a streaming aggregate: because the
+    // Aggregator is a true partial aggregate (merge = elementwise add),
+    // the state store holds one d×w table per group and each batch
+    // merges into it — the streaming face of the same mergeability the
+    // batch plan relies on.
+    implicit val sc = spark.sqlContext
+    graft.expr.GraftFunctions.register(spark)
+    val D = 4; val W = 256
+    val cellsExpr = "transform(sequence(0, 3), i -> CAST(i AS BIGINT) * 256 + " +
+      "pmod(CAST(conv(substring(md5(concat('cm', CAST(i AS STRING), '_', t)), " +
+      "1, 8), 16, 10) AS BIGINT), 256))"
+    val in = MemoryStream[String]
+    val sk = in.toDF().withColumnRenamed("value", "t")
+      .selectExpr(s"cms_4x256($cellsExpr) AS cells")
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    val batch1 = Seq("alpha", "beta", "alpha")
+    val batch2 = Seq("gamma", "alpha", "beta")
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").as[Seq[Long]].head()
+    val batch = (batch1 ++ batch2).toDF("t")
+      .selectExpr(s"cms_4x256($cellsExpr) AS cells").as[Seq[Long]].head()
+    assert(streamed == batch)
+    assert(streamed.sum == 6L * D) // one increment per row per hash row
+  }
+
   test("ST3 event parse matches the reference golden table") {
     // ref test/streaming_test.py:107-139: "user movie rating ts" lines
     implicit val sc = spark.sqlContext
