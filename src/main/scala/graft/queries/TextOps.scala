@@ -3,6 +3,7 @@ package graft.queries
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, SessionIds, Tables}
@@ -976,9 +977,101 @@ object TextOps {
             FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""")
   )
 
+  // ---- sequence preparation (chunking / packing) -----------------------
+
+  private val ChunkLen = 200
+  private val ChunkStride = 150
+
+  /** Fixed-window document chunking with overlap (stride 150, window
+    * 200 → 50-char overlap) — the context-window preparation step of an
+    * LLM data pipeline: each doc explodes into ceil(len/stride) chunks,
+    * identified by (doc_id, chunk_idx, offset) and carried as the
+    * shared md5-prefix hash rather than the text itself (results stay
+    * narrow; a real pipeline writes the chunk text to the training
+    * shard). Pure map-side explode — each doc's cost is its own length,
+    * no shuffle before the output sort. Offsets/lengths are exact
+    * integers; `substring` is ASCII-safe on the fixture (code-point vs
+    * UTF-16 divergence is the known cross-engine caveat for non-ASCII,
+    * see `expr.CharShingles`). */
+  val docChunks = Q(
+    "q102_doc_chunks",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        .select(col("doc_id"), col("text"), col("len"),
+          explode(sequence(lit(0L),
+            expr(s"(len + ${ChunkStride - 1}) div $ChunkStride - 1")))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * ChunkStride).as("chunk_offset"), col("text"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_offset"),
+          expr(s"substring(text, CAST(chunk_offset + 1 AS INT), $ChunkLen)")
+            .as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_offset"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          h32(col("chunk")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""SELECT doc_id, chunk_idx, chunk_offset,
+            CAST(length(chunk) AS BIGINT) AS chunk_len,
+            ${h32Sql("chunk")} AS chunk_hash
+            FROM (
+              SELECT doc_id, i AS chunk_idx, i * $ChunkStride AS chunk_offset,
+                substr(text, CAST(i * $ChunkStride + 1 AS INT), $ChunkLen) AS chunk
+              FROM (SELECT doc_id, text,
+                      unnest(range((length(text) + ${ChunkStride - 1})
+                        // $ChunkStride)) AS i
+                    FROM documents) u) c
+            ORDER BY doc_id, chunk_idx""")
+  )
+
+  private val PackBin = 1000L
+  private val PackShard = 500L
+
+  /** Contiguous sequence packing — filling fixed-size training bins
+    * (1000 chars) with documents in deterministic order: per shard, a
+    * running character total assigns each doc to the bin its START
+    * falls in (`(cum − len) div bin`), the relational form of
+    * append-in-order packing. The window partitions on (source, shard =
+    * doc_id div 500), so no task ever sorts more than 500 docs — the
+    * honest version of "packing is sequential per output shard", made
+    * scale-safe by bounding the shard, not by pretending packing
+    * parallelizes within one. All integers. */
+  val sequencePacking = Q(
+    "q103_sequence_packing",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr(s"doc_id div $PackShard").as("shard"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("cum", sum(col("len")).over(w))
+        .select(col("source"), col("shard"),
+          expr(s"(cum - len) div $PackBin").as("bin"),
+          col("len"))
+        .groupBy(col("source"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+        .orderBy(col("source"), col("shard"), col("bin"))
+    },
+    Some(s"""WITH l AS (SELECT source, doc_id, doc_id // $PackShard AS shard,
+              CAST(length(text) AS BIGINT) AS len FROM documents),
+            c AS (SELECT source, shard, len,
+                    sum(len) OVER (PARTITION BY source, shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM l)
+            SELECT source, shard, (cum - len) // $PackBin AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len) AS BIGINT) AS n_chars
+            FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, bin""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
     cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters,
-    cmsHeavyHitters, bloomDecontamination, bm25)
+    cmsHeavyHitters, bloomDecontamination, bm25, docChunks,
+    sequencePacking)
 }
