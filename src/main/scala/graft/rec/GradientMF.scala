@@ -245,6 +245,46 @@ object GradientMF {
     * gradient flow through the graph. */
   def lightgcnTrainTrajectory(ratings: DataFrame, rank: Int, lr: Double,
                               reg: Double, epochs: Int): DataFrame = {
+    val losses = Seq.newBuilder[DataFrame]
+    lightgcnFit(ratings, rank, lr, reg, epochs,
+      (k, p) => losses += epochLoss(k, p))
+    losses.result().reduce(_ unionAll _).orderBy(col("epoch"))
+  }
+
+  /** Train on `train`, then score the held-out `test` with the final
+    * PROPAGATED embeddings — the generalization face of q88's trainer
+    * (GdMfSpec anchors it at the ml-100k fixture shape). Pairs whose
+    * user or item never appears in training are dropped (the standard
+    * known-entity evaluation — ALS `coldStartStrategy="drop"` does the
+    * same). Returns one row `(n_test, baseline_rmse, test_rmse)`, the
+    * baseline predicting the train mean — a trained model must beat it
+    * on data it never saw. */
+  def lightgcnHoldout(train: DataFrame, test: DataFrame, rank: Int,
+                      lr: Double, reg: Double, epochs: Int): DataFrame = {
+    val (up, vp, g) = lightgcnFit(train, rank, lr, reg, epochs, (_, _) => ())
+    test.crossJoin(broadcast(g))
+      .select(col("user_id"), col("item_id"),
+        (col("rating") - col("mu")).as("res"))
+      .join(up.select(col("user_id"), col("val").as("uv")), Seq("user_id"))
+      .join(vp.select(col("item_id"), col("val").as("vv")), Seq("item_id"))
+      .select(col("res"), (dot(col("uv"), col("vv")) - col("res")).as("err"))
+      .agg(count(lit(1)).as("n_test"),
+        round(sqrt(avg(col("res") * col("res"))), 6).as("baseline_rmse"),
+        round(sqrt(avg(col("err") * col("err"))), 6).as("test_rmse"))
+  }
+
+  private def epochLoss(k: Int, p: DataFrame): DataFrame =
+    p.agg(round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
+      .select(lit(k).cast("long").as("epoch"), col("rmse"))
+
+  /** The shared training loop: runs `epochs` full-batch epochs on
+    * `ratings`, hands each epoch's checkpointed per-rating error
+    * relation (and the final one, at index `epochs`) to `onEpoch`, and
+    * returns the final propagated embeddings + the train mean — the
+    * artifacts a serving path needs. */
+  private def lightgcnFit(ratings: DataFrame, rank: Int, lr: Double,
+      reg: Double, epochs: Int, onEpoch: (Int, DataFrame) => Unit)
+      : (DataFrame, DataFrame, DataFrame) = {
     val g = ratings.agg(avg(col("rating")).as("mu"))
     val res = ratings.crossJoin(broadcast(g))
       .select(col("user_id"), col("item_id"),
@@ -283,18 +323,13 @@ object GradientMF {
           (dot(col("uv"), col("vv")) - col("res")).as("err"),
           col("uv"), col("vv"))
 
-    def epochLoss(k: Int, p: DataFrame): DataFrame =
-      p.agg(round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
-        .select(lit(k).cast("long").as("epoch"), col("rmse"))
-
     var u = init("u", "user_id").localCheckpoint(true)
     var v = init("i", "item_id").localCheckpoint(true)
-    val losses = Seq.newBuilder[DataFrame]
     for (k <- 0 until epochs) {
       val up = mix(u, v, "user_id", "item_id").localCheckpoint(true)
       val vp = mix(v, u, "item_id", "user_id").localCheckpoint(true)
       val p = predictions(up, vp).localCheckpoint(true)
-      losses += epochLoss(k, p)
+      onEpoch(k, p)
       val gup = p.groupBy(col("user_id"))
         .agg(vecAgg(rank)(i => avg(col("err") * col("vv")(i))).as("val"))
         .cache()
@@ -314,9 +349,9 @@ object GradientMF {
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .localCheckpoint(true)
     }
-    losses += epochLoss(epochs, predictions(
-      mix(u, v, "user_id", "item_id"),
-      mix(v, u, "item_id", "user_id")))
-    losses.result().reduce(_ unionAll _).orderBy(col("epoch"))
+    val upF = mix(u, v, "user_id", "item_id").localCheckpoint(true)
+    val vpF = mix(v, u, "item_id", "user_id").localCheckpoint(true)
+    onEpoch(epochs, predictions(upF, vpF))
+    (upF, vpF, g)
   }
 }

@@ -47,6 +47,49 @@ class GdMfSpec extends SparkSpec {
     }
   }
 
+  test("LightGCN training GENERALIZES at the ml-100k fixture shape") {
+    // The quality face of q88's trainer: 943 users × 1682 items, ~100k
+    // ratings from the same seeded latent-factor family AlsSpec anchors
+    // ALS against (published ml-100k RMSE 0.9246, measured 0.9206).
+    // 12 full-batch epochs at rank 8 (lr/reg tuned in a numpy prototype
+    // of the identical algebra: held-out RMSE ≈ 0.98 vs the ≈ 1.04
+    // global-mean baseline, ≈ 0.97 at 25 epochs; ALS with its
+    // closed-form solver and bias absorption reaches ≈ 0.92 — the
+    // remaining gap is optimizer class, not model semantics). Asserting
+    // on HELD-OUT data is what makes this a training-quality claim
+    // rather than a curve-fitting one.
+    val rnd = new scala.util.Random(11L)
+    val rank = 8
+    val nU = 943; val nI = 1682
+    val bu = Array.fill(nU + 1)(rnd.nextGaussian() * 0.45)
+    val bi = Array.fill(nI + 1)(rnd.nextGaussian() * 0.45)
+    val uf = Array.fill(nU + 1)(Array.fill(rank)(rnd.nextGaussian() * 0.25))
+    val vf = Array.fill(nI + 1)(Array.fill(rank)(rnd.nextGaussian() * 0.25))
+    val seen = scala.collection.mutable.HashSet.empty[(Int, Int)]
+    val rows = Seq.newBuilder[(Long, Long, Double)]
+    (1 to 100000).foreach { _ =>
+      val u = rnd.nextInt(nU) + 1; val i = rnd.nextInt(nI) + 1
+      if (seen.add((u, i))) {
+        val mu = 3.53 + bu(u) + bi(i) +
+          uf(u).zip(vf(i)).map { case (a, b) => a * b }.sum +
+          rnd.nextGaussian() * 0.845
+        rows += ((u.toLong, i.toLong,
+          math.min(5.0, math.max(1.0, math.round(mu).toDouble))))
+      }
+    }
+    val ratings = rows.result().toDF("user_id", "item_id", "rating")
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val Seq((n, baseline, rmse)) = GradientMF
+      .lightgcnHoldout(train.cache(), test, rank = 8, lr = 3.0,
+        reg = 0.03, epochs = 12)
+      .as[(Long, Double, Double)].collect().toSeq
+    info(f"held-out n=$n RMSE $rmse%.4f vs train-mean baseline $baseline%.4f")
+    assert(n > 15000, s"test split too small: $n")
+    assert(rmse < baseline - 0.04,
+      s"trained model does not beat the train-mean baseline: $rmse vs $baseline")
+    assert(rmse < 1.0, s"held-out RMSE $rmse above the 1.0 quality bar")
+  }
+
   test("BPR training run equals a hand-rolled in-memory reference") {
     val rank = 3
     val lr = 0.5
