@@ -1068,10 +1068,46 @@ object TextOps {
             FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, bin""")
   )
 
+  /** Stratified deterministic sampling — exactly k docs per source (the
+    * balanced data-mixture draw, where q79 is the RATE-based one): rank
+    * docs inside each stratum by the shared md5 hash of a salted doc_id
+    * (a uniform, engine-identical "random" order) and keep the k
+    * smallest. The selection runs as the bounded `TopKPairs` aggregator
+    * — every task ships at most k pairs per stratum to the shuffle, so
+    * a source with a billion docs costs the same shuffle as one with a
+    * hundred (the window form sorts the whole stratum). Hashes are
+    * < 2^32 so their negated-double scores are exact; ties break on
+    * doc_id on both sides. */
+  val stratifiedSample = Q(
+    "q105_stratified_sample",
+    (s, d) => {
+      val k = 5
+      val topk = graft.expr.TopKPairs.agg(k)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          h32(concat(lit("samp"), col("doc_id").cast("string"))).as("hv"))
+        .groupBy(col("source"))
+        .agg(topk((-col("hv")).cast("double"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("p._2").as("doc_id"), (-col("p._1")).cast("long").as("hv"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH h AS (SELECT source, doc_id,
+              ${h32Sql("'samp' || CAST(doc_id AS VARCHAR)")} AS hv
+              FROM documents),
+            r AS (SELECT source, doc_id, hv,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY hv, doc_id) AS rank
+                  FROM h)
+            SELECT source, rank, doc_id, hv
+            FROM r WHERE rank <= 5 ORDER BY source, rank""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
     cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters,
     cmsHeavyHitters, bloomDecontamination, bm25, docChunks,
-    sequencePacking)
+    sequencePacking, stratifiedSample)
 }

@@ -136,6 +136,35 @@ object TpchShapes {
     Some(priorityCheckSql)
   )
 
+  /** Brand revenue routed through the EXPLICIT salt/replicate skew join
+    * (`io.SkewJoin.saltedEquiJoin`, saltFactor 8): the fact side is
+    * split into 8 random sub-keys and the `part` dim replicated across
+    * them, so one hot part key becomes 8 even shuffle partitions — the
+    * deterministic fallback for when a single key outgrows an executor
+    * (AQE's skew handling is runtime-best-effort; salting is the
+    * guaranteed shape). Salting MUST NOT change join semantics, which is
+    * exactly what the oracle checks: the plain un-salted SQL join.
+    * PlanSpec pins the `__salt` column into the physical join keys so
+    * the query can't silently regress to the plain path. */
+  val skewJoin = Q(
+    "q104_skew_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), revCents.as("rc"))
+      val pt = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.io.SkewJoin.saltedEquiJoin(li, pt, "l_partkey", saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rc")).as("revenue_cents"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1 ORDER BY p_brand""")
+  )
+
   val all: Seq[Q] = Seq(shippingPriority, localSupplierVolume, returnedItems,
-    orderPriorityCheck)
+    orderPriorityCheck, skewJoin)
 }

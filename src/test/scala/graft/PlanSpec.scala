@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
       s"q99's probe regressed to a shuffle join:\n$p")
   }
 
+  test("q104 really joins on the salted key") {
+    // The physical join keys must include __salt: if a refactor drops
+    // the salt column from the join, the query silently degrades to the
+    // plain single-partition-per-hot-key shuffle and the skew guarantee
+    // is gone (results stay identical — only the plan can tell).
+    val p = plan("q104_skew_join")
+    assert(p.contains("__salt"),
+      s"q104's join lost the salt sub-key:\n$p")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     // q17: orderBy+limit over orders; q32: the final cos-desc limit 50
     // after the pair aggregation — both must be a streaming top-k.
