@@ -997,6 +997,10 @@ object TextOps {
     "q102_doc_chunks",
     (s, d) =>
       Tables.documents(s, d)
+        // empty docs yield no chunks: without this, len=0 makes the upper
+        // bound -1 and Spark's sequence(0,-1) STEPS BACKWARD to [0,-1]
+        // (two bogus rows) where DuckDB's range(0) is empty
+        .where(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("len"))
         .select(col("doc_id"), col("text"), col("len"),
@@ -1062,7 +1066,7 @@ object TextOps {
                     sum(len) OVER (PARTITION BY source, shard ORDER BY doc_id
                       ROWS UNBOUNDED PRECEDING) AS cum
                   FROM l)
-            SELECT source, shard, (cum - len) // $PackBin AS bin,
+            SELECT source, shard, CAST((cum - len) // $PackBin AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len) AS BIGINT) AS n_chars
             FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, bin""")
