@@ -4,11 +4,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times every catalog query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup pass touches
   * each fixture table first so per-query numbers measure the query, not
-  * session/scan/codegen bring-up; each query then runs TWICE and the min
-  * is reported, so a GC pause / machine-load blip on one pass cannot
-  * masquerade as a plan regression (the r5 bench showed a contiguous
-  * 2-5× swing on untouched queries for exactly that reason). Timings are
-  * rounded to ms so the whole line stays compact enough for log tails.
+  * session/scan/codegen bring-up; the catalog then runs TWICE end to end
+  * — pass 1 in full, then pass 2 in full — and each query reports the
+  * min of its two samples. The passes are INTERLEAVED at catalog level
+  * (not back-to-back per query) deliberately: the r8 bench showed 2-5×
+  * swings on two CONTIGUOUS bands of untouched queries (q29-q31,
+  * q80-q82) that vanished on re-measurement with identical code and
+  * data (q31 6.4 s → 1.3 s, q82 3.7 s → 1.3 s). Root cause is HOST
+  * load: this container shares its machine, and `load average: 9.4`
+  * shows up with zero runnable processes in the container's own pid
+  * namespace — an external load wave spanning a few seconds covers
+  * both of a query's back-to-back passes, so per-query min-of-2 can't
+  * filter it, while samples a full catalog (~60 s) apart decorrelate
+  * it. Pass 1 also fully warms JIT/codegen, so every pass-2 sample is
+  * steady-state regardless of sort position (isolated 7-query runs
+  * measured the same small queries 3-7× slower than in-catalog runs
+  * for JIT reasons alone — isolation is the wrong way to re-check a
+  * single query's number; compare full-catalog runs instead). Timings
+  * are rounded to ms so the whole line stays compact enough for log
+  * tails.
   */
 object Bench {
   private val Passes = 2
@@ -34,8 +48,20 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(o => o.contains(name) || o.contains(name.split("_").head)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to Passes).map { _ =>
+    val samples = (1 to Passes).flatMap { _ =>
+      // Each pass starts with an empty SQL cache. Queries share cached
+      // sub-plans (q27's shingles, q29's signatures, q57's centroids —
+      // the CacheManager dedupes by logical plan), so without the clear
+      // a pass-2 sample measures pass-1's cache hit, not the query
+      // (q28 read 0.15 s warm vs 0.86 s real). Clearing per PASS, not
+      // per query, keeps within-pass sharing — the pipeline cost model
+      // (a quantizer is built once, not once per consumer; per-query
+      // clearing re-built it for q36/q57/q65/q101 separately and
+      // inflated the total ~30 s with no attribution gained) and the
+      // same semantics every prior round measured. Also bounds cache
+      // accumulation across the 100+-query catalog on the 8 g heap.
+      spark.catalog.clearCache()
+      selected.map { case (name, fn) =>
         // q72 memoizes its converged labels per (session, dataset) — the
         // right artifact semantics for a dedup pipeline, but a bench pass
         // must time the propagation BUILD, not the memo lookup, or a
@@ -50,9 +76,11 @@ object Bench {
             // surface failures — a fast-failing query must not read as a speedup
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+    }
+    val results = selected.map { case (name, _) =>
+      name -> samples.collect { case (`name`, t) => t }.min
     }
     def r3(v: Double): String = "%.3f".format(v)
     // keys are the unique qNN prefix: the driver keeps only a 2000-byte
