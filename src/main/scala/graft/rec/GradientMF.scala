@@ -43,6 +43,31 @@ import org.apache.spark.sql.functions._
   */
 object GradientMF {
 
+  /** Eager localCheckpoint re-rooted as a FRESH LogicalRDD leaf.
+    *
+    * Spark 4's `localCheckpoint` rewrites the origin plan's statistics
+    * onto the checkpoint leaf (`LogicalRDD.rewriteStatsAndConstraints`),
+    * and size-only estimation multiplies children's `sizeInBytes`
+    * through every join — so an iterative trainer whose epoch-k tables
+    * are joins of epoch-(k−1) checkpoints compounds the stat doubly
+    * exponentially. The BigInt's DIGIT COUNT roughly doubles per epoch:
+    * by ~15 epochs it has ~10⁵ digits and the driver sits for minutes
+    * inside `BigInteger.multiply` under
+    * `SizeInBytesOnlyStatsPlanVisitor` (observed on the holdout spec:
+    * 12 epochs ≈ 2 min wall, 24 epochs > 30 min, 100% driver CPU, any
+    * data size — the cost is arithmetic on the stat itself, not the
+    * data). Re-wrapping the checkpointed RDD in `createDataFrame` makes
+    * a leaf whose stats are the CONSTANT `defaultSizeInBytes`, so
+    * planning cost stays flat in epochs; AQE re-plans joins from real
+    * runtime shuffle sizes anyway, and every explicitly-broadcast side
+    * here is marked with `broadcast()`. */
+  private implicit class CheckpointLeaf(df: DataFrame) {
+    def checkpointLeaf: DataFrame = {
+      val ck = df.localCheckpoint(true)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+  }
+
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
@@ -102,12 +127,12 @@ object GradientMF {
       p.agg(round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"))
         .select(lit(k).cast("long").as("epoch"), col("rmse"))
 
-    var u = init("u", "user_id").localCheckpoint(true)
-    var v = init("i", "item_id").localCheckpoint(true)
+    var u = init("u", "user_id").checkpointLeaf
+    var v = init("i", "item_id").checkpointLeaf
     val losses = Seq.newBuilder[DataFrame]
     for (k <- 0 until epochs) {
       // p feeds the loss and BOTH gradients — checkpoint once per epoch
-      val p = predictions(u, v).localCheckpoint(true)
+      val p = predictions(u, v).checkpointLeaf
       losses += epochLoss(k, p)
       val gu = p.groupBy(col("user_id"))
         .agg(vecAgg(rank)(i => avg(col("err") * col("vv")(i))).as("grad"))
@@ -116,11 +141,11 @@ object GradientMF {
       u = u.join(gu, Seq("user_id"))
         .select(col("user_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
-        .localCheckpoint(true)
+        .checkpointLeaf
       v = v.join(gv, Seq("item_id"))
         .select(col("item_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
-        .localCheckpoint(true)
+        .checkpointLeaf
     }
     losses += epochLoss(epochs, predictions(u, v))
     losses.result().reduce(_ unionAll _).orderBy(col("epoch"))
@@ -139,6 +164,30 @@ object GradientMF {
     * are oracle-checked (q87). */
   def bprTrainTrajectory(ratings: DataFrame, rank: Int, lr: Double,
                          reg: Double, epochs: Int): DataFrame = {
+    val losses = Seq.newBuilder[DataFrame]
+    bprFit(ratings, rank, lr, reg, epochs,
+      (k, d) => losses += bprEpochLoss(k, d))
+    losses.result().reduce(_ unionAll _).orderBy(col("epoch"))
+  }
+
+  /** The trained BPR factor tables `(u, v)` — each `(id, val:
+    * array<double>)` — for serving a top-N ranking from the pairwise
+    * objective (q106 composes these with the precision/recall metric). */
+  def bprTrainedFactors(ratings: DataFrame, rank: Int, lr: Double,
+                        reg: Double, epochs: Int): (DataFrame, DataFrame) =
+    bprFit(ratings, rank, lr, reg, epochs, (_, _) => ())
+
+  private def bprEpochLoss(k: Int, d: DataFrame): DataFrame =
+    d.agg(
+        round(avg(log(lit(1.0) + exp(-col("d")))), 6).as("bpr_loss"),
+        round(sum(when(round(col("d"), 6) > 0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("pair_acc"))
+      .select(lit(k).cast("long").as("epoch"), col("bpr_loss"),
+        col("pair_acc"))
+
+  private def bprFit(ratings: DataFrame, rank: Int, lr: Double,
+      reg: Double, epochs: Int, onEpoch: (Int, DataFrame) => Unit)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wPos = Window.partitionBy(col("user_id"))
       .orderBy(col("rating").desc, col("item_id"))
@@ -174,24 +223,15 @@ object GradientMF {
             (p, n) => p - n)).as("d"),
           col("uval"), col("pval"), col("nval"))
 
-    def epochLoss(k: Int, d: DataFrame): DataFrame =
-      d.agg(
-          round(avg(log(lit(1.0) + exp(-col("d")))), 6).as("bpr_loss"),
-          round(sum(when(round(col("d"), 6) > 0, 1L).otherwise(0L))
-            .cast("double") / count(lit(1)), 6).as("pair_acc"))
-        .select(lit(k).cast("long").as("epoch"), col("bpr_loss"),
-          col("pair_acc"))
-
     var u = init("u", tr.select(col("user_id")).distinct(), "user_id")
-      .localCheckpoint(true)
+      .checkpointLeaf
     var v = init("i",
       tr.select(col("pos_item").as("item_id"))
         .unionAll(tr.select(col("neg_item").as("item_id"))).distinct(),
-      "item_id").localCheckpoint(true)
-    val losses = Seq.newBuilder[DataFrame]
+      "item_id").checkpointLeaf
     for (k <- 0 until epochs) {
-      val d = scores(u, v).localCheckpoint(true)
-      losses += epochLoss(k, d)
+      val d = scores(u, v).checkpointLeaf
+      onEpoch(k, d)
       val s = d.withColumn("comp", lit(1.0) / (lit(1.0) + exp(col("d"))))
       // one (pos, neg) pair per user today, but aggregate symmetrically
       // with gv so the update join stays 1:1 per user_id even if the
@@ -211,14 +251,14 @@ object GradientMF {
       u = u.join(gu, Seq("user_id"))
         .select(col("user_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
-        .localCheckpoint(true)
+        .checkpointLeaf
       v = v.join(gv, Seq("item_id"))
         .select(col("item_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
-        .localCheckpoint(true)
+        .checkpointLeaf
     }
-    losses += epochLoss(epochs, scores(u, v))
-    losses.result().reduce(_ unionAll _).orderBy(col("epoch"))
+    onEpoch(epochs, scores(u, v))
+    (u, v)
   }
 
   /** END-TO-END LightGCN training (He et al. 2020; the ref's actual
@@ -323,12 +363,12 @@ object GradientMF {
           (dot(col("uv"), col("vv")) - col("res")).as("err"),
           col("uv"), col("vv"))
 
-    var u = init("u", "user_id").localCheckpoint(true)
-    var v = init("i", "item_id").localCheckpoint(true)
+    var u = init("u", "user_id").checkpointLeaf
+    var v = init("i", "item_id").checkpointLeaf
     for (k <- 0 until epochs) {
-      val up = mix(u, v, "user_id", "item_id").localCheckpoint(true)
-      val vp = mix(v, u, "item_id", "user_id").localCheckpoint(true)
-      val p = predictions(up, vp).localCheckpoint(true)
+      val up = mix(u, v, "user_id", "item_id").checkpointLeaf
+      val vp = mix(v, u, "item_id", "user_id").checkpointLeaf
+      val p = predictions(up, vp).checkpointLeaf
       onEpoch(k, p)
       val gup = p.groupBy(col("user_id"))
         .agg(vecAgg(rank)(i => avg(col("err") * col("vv")(i))).as("val"))
@@ -342,15 +382,15 @@ object GradientMF {
           Seq("user_id"))
         .select(col("user_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
-        .localCheckpoint(true)
+        .checkpointLeaf
       v = v.join(gv.select(col("item_id"), col("val").as("grad")),
           Seq("item_id"))
         .select(col("item_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
-        .localCheckpoint(true)
+        .checkpointLeaf
     }
-    val upF = mix(u, v, "user_id", "item_id").localCheckpoint(true)
-    val vpF = mix(v, u, "item_id", "user_id").localCheckpoint(true)
+    val upF = mix(u, v, "user_id", "item_id").checkpointLeaf
+    val vpF = mix(v, u, "item_id", "user_id").checkpointLeaf
     onEpoch(epochs, predictions(upF, vpF))
     (upF, vpF, g)
   }
