@@ -22,8 +22,42 @@ final case class Q(
   */
 object SessionIds {
   private val ids = new java.util.WeakHashMap[SparkSession, String]()
+  private val evictors =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  /** Register a callback invoked with a session's id when that session's
+    * SparkContext stops. Memo caches keyed on session ids MUST register
+    * one: their values (DataFrames, index dirs) strongly reference the
+    * session, so without eviction the WeakHashMap entry — and the whole
+    * session object graph — stays reachable forever in a long-lived
+    * multi-session driver. */
+  def registerEvictor(f: String => Unit): Unit = evictors.add(f)
+
+  /** What the context-stop listener runs; exposed for the eviction spec
+    * (stopping the shared test session would kill every other suite). */
+  private[graft] def fireEviction(sid: String): Unit =
+    evictors.forEach(f => f(sid))
+
   def of(s: SparkSession): String = ids.synchronized {
-    ids.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+    var created: Option[String] = None
+    val id = ids.computeIfAbsent(s, _ => {
+      val fresh = java.util.UUID.randomUUID().toString
+      created = Some(fresh)
+      fresh
+    })
+    created.foreach { sid =>
+      // one listener per session id; sessions sharing a context
+      // (newSession()) die with it, so context stop is the right signal
+      try s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit =
+            fireEviction(sid)
+        })
+      catch { case _: IllegalStateException => fireEviction(sid) }
+    }
+    id
   }
 }
 

@@ -386,18 +386,47 @@ object Similarity {
     * indexes can't accumulate across a long-lived driver. */
   private val ivfIndexDirCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private[graft] def indexMemoDirs: Seq[String] =
+    ivfIndexDirCache.values.toSeq
+  // a stopped session's index is unreachable — evict the memo entry and
+  // reclaim the disk now instead of waiting for the JVM shutdown hook
+  graft.SessionIds.registerEvictor { sid =>
+    ivfIndexDirCache.filterInPlace { (k, dir) =>
+      val dead = k._1 == sid
+      if (dead) {
+        val p = java.nio.file.Paths.get(dir)
+        exitDirs.remove(p)
+        deleteRecursively(p)
+      }
+      !dead
+    }
+  }
+
+  /** Dirs pending deletion at JVM shutdown. ONE static hook drains the
+    * set — one hook thread per dir would accumulate unbounded hook
+    * threads in a long-lived driver cycling many datasets. */
+  private val exitDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      exitDirs.forEach(deleteRecursively)
+    }))
 
   private def deleteOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(dir)) {
-        val walk = Files.walk(dir)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }))
+    exitHookInstalled
+    exitDirs.add(dir)
     dir
   }
 

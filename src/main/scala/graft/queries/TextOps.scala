@@ -365,11 +365,17 @@ object TextOps {
     * after GC and serve a dead session's labels. */
   private val labelCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  // drop a stopped session's labels — the cached DataFrames strongly
+  // reference the session, so unevicted entries pin dead sessions
+  graft.SessionIds.registerEvictor(sid =>
+    labelCache.filterInPlace((k, _) => k._1 != sid))
 
   /** Drop memoized component labels so the next q72 invocation rebuilds
     * the propagation — used by the bench to time the real build instead
     * of the memo hit (a propagation regression must stay visible). */
   def clearLabelMemo(): Unit = labelCache.clear()
+
+  private[graft] def labelMemoEntries: Int = labelCache.size
 
   /** Near-dup GROUPING (the step after candidate generation in a dedup
     * pipeline): connected components over the MinHash-LSH candidate graph
