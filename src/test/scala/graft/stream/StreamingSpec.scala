@@ -64,6 +64,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sum == 6L * D) // one increment per row per hash row
   }
 
+  test("streaming Bloom: the filter builds incrementally and equals batch") {
+    // q99's Bloom synopsis as a streaming aggregate — the second
+    // bounded-state synopsis face: merge is elementwise OR (filter
+    // union), so the state store holds one m-bit array and each batch
+    // ORs into it; a stream-built filter is bit-identical to the
+    // batch-built one over the same elements, and the one-sided
+    // guarantee (an inserted element always probes positive) holds on
+    // the streamed bits.
+    implicit val sc = spark.sqlContext
+    graft.expr.GraftFunctions.register(spark)
+    val posExpr = "transform(sequence(0, 2), j -> " +
+      "pmod(CAST(conv(substring(md5(concat('bf', CAST(j AS STRING), '_', t)), " +
+      "1, 8), 16, 10) AS BIGINT), 2048))"
+    val in = MemoryStream[String]
+    val sk = in.toDF().withColumnRenamed("value", "t")
+      .selectExpr(s"bloom_2048($posExpr) AS bits")
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("bloom_stream").start()
+    val batch1 = Seq("alpha beta gamma", "delta epsilon zeta")
+    val batch2 = Seq("eta theta iota", "alpha beta gamma")
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_stream").as[Seq[Long]].head()
+    val batch = (batch1 ++ batch2).toDF("t")
+      .selectExpr(s"bloom_2048($posExpr) AS bits").as[Seq[Long]].head()
+    assert(streamed == batch)
+    assert(streamed.exists(_ != 0L), "filter stayed empty")
+    // one-sided: every inserted element's k positions are set
+    val probes = (batch1 ++ batch2).distinct.toDF("t")
+      .selectExpr(s"$posExpr AS ps").as[Seq[Long]].collect()
+    probes.foreach { ps =>
+      ps.foreach { p =>
+        val set = (streamed((p / 32).toInt) >> (p % 32).toInt & 1L) == 1L
+        assert(set, s"inserted element's bit $p not set")
+      }
+    }
+  }
+
   test("ST3 event parse matches the reference golden table") {
     // ref test/streaming_test.py:107-139: "user movie rating ts" lines
     implicit val sc = spark.sqlContext
