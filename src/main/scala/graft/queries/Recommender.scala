@@ -458,66 +458,76 @@ object Recommender {
     * falls ~0.70 → ~0.23 while pairwise accuracy rises ~0.50 → ~1.0 —
     * and the oracle reproduces the whole training run to 6dp, so the
     * sigmoid-gradient algebra itself is what's being checked. */
+  /** Per-pair BPR score CTE at epoch `k` (needs tr/u$k/v$k in scope). */
+  private def bprDCte(k: Int): String =
+    s"""d$k AS MATERIALIZED (
+        SELECT t.user_id, t.pos_item, t.neg_item,
+               sum(u.val * (vp.val - vn.val)) AS d
+        FROM tr t JOIN u$k u ON t.user_id = u.user_id
+             JOIN v$k vp ON t.pos_item = vp.item_id AND vp.f = u.f
+             JOIN v$k vn ON t.neg_item = vn.item_id AND vn.f = u.f
+        GROUP BY 1, 2, 3)"""
+
+  /** The unrolled BPR-GD training CTE chain (the q87 oracle's spine,
+    * shared with q106 which trains on a SPLIT): from the ratings
+    * relation `rDef` through the trained long-format factor tables
+    * `u$GdEpochs` / `v$GdEpochs`. */
+  private def bprOracleCtes(rDef: String): Seq[String] = {
+    val lr = 1.0
+    def h32init(kind: String, idCol: String): String =
+      s"(${OracleSql.h32(s"'$kind' || CAST($idCol AS VARCHAR) || '_' || CAST(f AS VARCHAR)")} % 1000 - 500) / 1000.0"
+    val head = Seq(
+      s"r AS MATERIALIZED ($rDef)",
+      """pos AS MATERIALIZED (SELECT user_id, item_id AS pos_item, rating AS pos_r FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY rating DESC, item_id) AS rn FROM r) t WHERE rn = 1)""",
+      """neg AS MATERIALIZED (SELECT user_id, item_id AS neg_item, rating AS neg_r FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY rating ASC, item_id DESC) AS rn FROM r) t WHERE rn = 1)""",
+      """tr AS MATERIALIZED (SELECT p.user_id, p.pos_item, n.neg_item
+          FROM pos p JOIN neg n USING (user_id) WHERE p.pos_r > n.neg_r)""",
+      s"fs AS (SELECT unnest(range($GdRank)) AS f)",
+      s"u0 AS MATERIALIZED (SELECT user_id, f, ${h32init("u", "user_id")} AS val FROM (SELECT DISTINCT user_id FROM tr) CROSS JOIN fs)",
+      s"""v0 AS MATERIALIZED (SELECT item_id, f, ${h32init("i", "item_id")} AS val FROM (
+          SELECT pos_item AS item_id FROM tr UNION SELECT neg_item FROM tr) CROSS JOIN fs)""")
+    val epochs = (0 until GdEpochs).map { k =>
+      s"""${bprDCte(k)},
+         s$k AS MATERIALIZED (
+           SELECT *, 1.0 / (1.0 + exp(d)) AS comp FROM d$k),
+         gu$k AS MATERIALIZED (
+           SELECT s.user_id, vp.f, -s.comp * (vp.val - vn.val) AS grad
+           FROM s$k s JOIN v$k vp ON s.pos_item = vp.item_id
+                JOIN v$k vn ON s.neg_item = vn.item_id AND vn.f = vp.f),
+         gv$k AS MATERIALIZED (
+           SELECT item_id, f, avg(c) AS grad FROM (
+             SELECT s.pos_item AS item_id, u.f, -s.comp * u.val AS c
+             FROM s$k s JOIN u$k u ON s.user_id = u.user_id
+             UNION ALL
+             SELECT s.neg_item, u.f, s.comp * u.val
+             FROM s$k s JOIN u$k u ON s.user_id = u.user_id) cc
+           GROUP BY 1, 2),
+         u${k + 1} AS MATERIALIZED (
+           SELECT u.user_id, u.f, u.val - $lr * (g.grad + $GdReg * u.val) AS val
+           FROM u$k u JOIN gu$k g ON u.user_id = g.user_id AND u.f = g.f),
+         v${k + 1} AS MATERIALIZED (
+           SELECT v.item_id, v.f, v.val - $lr * (g.grad + $GdReg * v.val) AS val
+           FROM v$k v JOIN gv$k g ON v.item_id = g.item_id AND v.f = g.f)"""
+    }
+    head ++ epochs
+  }
+
   val bprGdTraining = Q(
     "q87_bpr_gd_training",
     (s, d) => graft.rec.GradientMF.bprTrainTrajectory(
       Ratings.view(s, d), GdRank, lr = 1.0, reg = GdReg, GdEpochs),
     Some {
-      val lr = 1.0
-      def h32init(kind: String, idCol: String): String =
-        s"(${OracleSql.h32(s"'$kind' || CAST($idCol AS VARCHAR) || '_' || CAST(f AS VARCHAR)")} % 1000 - 500) / 1000.0"
-      def dCte(k: Int): String =
-        s"""d$k AS MATERIALIZED (
-            SELECT t.user_id, t.pos_item, t.neg_item,
-                   sum(u.val * (vp.val - vn.val)) AS d
-            FROM tr t JOIN u$k u ON t.user_id = u.user_id
-                 JOIN v$k vp ON t.pos_item = vp.item_id AND vp.f = u.f
-                 JOIN v$k vn ON t.neg_item = vn.item_id AND vn.f = u.f
-            GROUP BY 1, 2, 3)"""
-      val head = Seq(
-        s"r AS MATERIALIZED ($rview)",
-        """pos AS MATERIALIZED (SELECT user_id, item_id AS pos_item, rating AS pos_r FROM (
-            SELECT *, row_number() OVER (PARTITION BY user_id
-              ORDER BY rating DESC, item_id) AS rn FROM r) t WHERE rn = 1)""",
-        """neg AS MATERIALIZED (SELECT user_id, item_id AS neg_item, rating AS neg_r FROM (
-            SELECT *, row_number() OVER (PARTITION BY user_id
-              ORDER BY rating ASC, item_id DESC) AS rn FROM r) t WHERE rn = 1)""",
-        """tr AS MATERIALIZED (SELECT p.user_id, p.pos_item, n.neg_item
-            FROM pos p JOIN neg n USING (user_id) WHERE p.pos_r > n.neg_r)""",
-        s"fs AS (SELECT unnest(range($GdRank)) AS f)",
-        s"u0 AS MATERIALIZED (SELECT user_id, f, ${h32init("u", "user_id")} AS val FROM (SELECT DISTINCT user_id FROM tr) CROSS JOIN fs)",
-        s"""v0 AS MATERIALIZED (SELECT item_id, f, ${h32init("i", "item_id")} AS val FROM (
-            SELECT pos_item AS item_id FROM tr UNION SELECT neg_item FROM tr) CROSS JOIN fs)""")
-      val epochs = (0 until GdEpochs).map { k =>
-        s"""${dCte(k)},
-           s$k AS MATERIALIZED (
-             SELECT *, 1.0 / (1.0 + exp(d)) AS comp FROM d$k),
-           gu$k AS MATERIALIZED (
-             SELECT s.user_id, vp.f, -s.comp * (vp.val - vn.val) AS grad
-             FROM s$k s JOIN v$k vp ON s.pos_item = vp.item_id
-                  JOIN v$k vn ON s.neg_item = vn.item_id AND vn.f = vp.f),
-           gv$k AS MATERIALIZED (
-             SELECT item_id, f, avg(c) AS grad FROM (
-               SELECT s.pos_item AS item_id, u.f, -s.comp * u.val AS c
-               FROM s$k s JOIN u$k u ON s.user_id = u.user_id
-               UNION ALL
-               SELECT s.neg_item, u.f, s.comp * u.val
-               FROM s$k s JOIN u$k u ON s.user_id = u.user_id) cc
-             GROUP BY 1, 2),
-           u${k + 1} AS MATERIALIZED (
-             SELECT u.user_id, u.f, u.val - $lr * (g.grad + $GdReg * u.val) AS val
-             FROM u$k u JOIN gu$k g ON u.user_id = g.user_id AND u.f = g.f),
-           v${k + 1} AS MATERIALIZED (
-             SELECT v.item_id, v.f, v.val - $lr * (g.grad + $GdReg * v.val) AS val
-             FROM v$k v JOIN gv$k g ON v.item_id = g.item_id AND v.f = g.f)"""
-      }
       val losses = (0 to GdEpochs).map(k =>
         s"""SELECT CAST($k AS BIGINT) AS epoch,
             round(avg(ln(1 + exp(-d))), 6) AS bpr_loss,
             round(CAST(sum(CASE WHEN round(d, 6) > 0 THEN 1 ELSE 0 END)
               AS DOUBLE) / count(*), 6) AS pair_acc FROM d$k""")
         .mkString("\nUNION ALL\n")
-      s"""WITH ${(head ++ epochs :+ dCte(GdEpochs)).mkString(",\n")}
+      s"""WITH ${(bprOracleCtes(rview) :+ bprDCte(GdEpochs)).mkString(",\n")}
           SELECT * FROM ($losses) t ORDER BY epoch"""
     }
   )
@@ -636,8 +646,95 @@ object Recommender {
     userTopk.oracle
   )
 
+  /** The reference's HEADLINE top-N metric computed END-TO-END from
+    * TRAINED factors (ref `src/csv/train_topn.py:112-145` reports
+    * P@20/R@20 of the BPR-trained LightGCN): train q87's BPR factors on
+    * a deterministic split (q35's (user+item)%4 holdout rule), rank
+    * every trained item per probe user by the factor dot product
+    * (6dp-rounded, item tiebreak — the q82/q100 cross-engine ranking
+    * idiom), drop the user's train items, and score the top-20 against
+    * the holdout — so the ORACLE reproduces training AND serving AND
+    * metric in one CTE chain. Where q35 metered a fixed popularity
+    * scorer, this is the metric on the learned model. Scale shape: the
+    * candidate score is probe-users (bounded, 50) × item-factor table —
+    * the item side streams and the probe factors broadcast; ranking
+    * windows over 50 bounded groups; everything else is equi-joins on
+    * (user, item). */
+  val bprTopnMetric = Q(
+    "q106_bpr_topn_metric",
+    (s, d) => {
+      val k = 20
+      val r = Ratings.view(s, d).cache()
+      val test = r.where((col("user_id") + col("item_id")) % 4 === 0)
+      val train = r.where((col("user_id") + col("item_id")) % 4 =!= 0)
+      val (uf, vf) = graft.rec.GradientMF.bprTrainedFactors(
+        train, GdRank, lr = 1.0, reg = GdReg, GdEpochs)
+      val probe = uf.select(col("user_id")).orderBy(col("user_id")).limit(50)
+      val pu = uf.join(broadcast(probe), Seq("user_id"))
+        .select(col("user_id"), col("val").as("uval"))
+      val dotScore = round(aggregate(
+        zip_with(col("uval"), col("vval"), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x), 6)
+      val ranked = vf.select(col("item_id"), col("val").as("vval"))
+        .crossJoin(broadcast(pu))
+        .select(col("user_id"), col("item_id"), dotScore.as("score"))
+        .join(train.select(col("user_id"), col("item_id")),
+          Seq("user_id", "item_id"), "left_anti")
+        .withColumn("rank", row_number().over(Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("score").desc, col("item_id"))))
+        .where(col("rank") <= k)
+      val nt = test.groupBy(col("user_id")).agg(count(lit(1)).as("n_test"))
+        .join(broadcast(probe), Seq("user_id"))
+      val hits = ranked
+        .join(test.select(col("user_id"), col("item_id")),
+          Seq("user_id", "item_id"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("h"))
+      nt.join(hits, Seq("user_id"), "left")
+        .select(coalesce(col("h"), lit(0L)).as("h"), col("n_test"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("h") / k.toDouble), 6).as("p_at_20"),
+          round(avg(col("h").cast("double") / col("n_test")), 6)
+            .as("r_at_20"))
+    },
+    Some {
+      val e = GdEpochs
+      val metric = Seq(
+        s"""pu AS (SELECT user_id FROM (SELECT DISTINCT user_id FROM u$e)
+            ORDER BY user_id LIMIT 50)""",
+        s"""sc AS MATERIALIZED (
+            SELECT u.user_id, v.item_id, round(sum(u.val * v.val), 6) AS score
+            FROM u$e u JOIN pu USING (user_id)
+                 JOIN v$e v ON v.f = u.f
+            GROUP BY 1, 2)""",
+        """cand AS (SELECT s.user_id, s.item_id, s.score
+            FROM sc s LEFT JOIN r t
+              ON t.user_id = s.user_id AND t.item_id = s.item_id
+            WHERE t.user_id IS NULL)""",
+        """top AS (SELECT user_id, item_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY score DESC, item_id) AS rank FROM cand) rk
+            WHERE rank <= 20)""",
+        """nt AS (SELECT user_id, count(*) AS n_test
+            FROM test JOIN pu USING (user_id) GROUP BY 1)""",
+        """hits AS (SELECT t.user_id, count(*) AS h
+            FROM top t JOIN test e
+              ON e.user_id = t.user_id AND e.item_id = t.item_id
+            GROUP BY 1)""")
+      val split = Seq(
+        s"r0 AS MATERIALIZED ($rview)",
+        "test AS MATERIALIZED (SELECT * FROM r0 WHERE (user_id + item_id) % 4 = 0)")
+      val train = "SELECT * FROM r0 WHERE (user_id + item_id) % 4 <> 0"
+      s"""WITH ${(split ++ bprOracleCtes(train) ++ metric).mkString(",\n")}
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 round(avg(coalesce(h, 0) / 20.0), 6) AS p_at_20,
+                 round(avg(CAST(coalesce(h, 0) AS DOUBLE) / n_test), 6) AS r_at_20
+          FROM nt LEFT JOIN hits USING (user_id)"""
+    }
+  )
+
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
     graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy,
     weightedLoss, bprLoss, mfGdTraining, bprGdTraining, lightgcnTraining,
-    userTopkAgg)
+    userTopkAgg, bprTopnMetric)
 }
