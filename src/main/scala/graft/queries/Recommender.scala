@@ -542,47 +542,52 @@ object Recommender {
     * of the propagated model falls ~1.41 → ~1.29 over 3 epochs on the
     * fixture; DuckDB reproduces the whole run — propagation, gradient
     * flow through the graph, updates — to 6dp. */
-  val lightgcnTraining = Q(
-    "q88_lightgcn_training",
-    (s, d) => graft.rec.GradientMF.lightgcnTrainTrajectory(
-      Ratings.view(s, d), GdRank, lr = 16.0, reg = GdReg, GdEpochs),
-    Some {
-      val lr = 16.0
-      def h32init(kind: String, idCol: String): String =
-        s"(${OracleSql.h32(s"'$kind' || CAST($idCol AS VARCHAR) || '_' || CAST(f AS VARCHAR)")} % 1000 - 500) / 1000.0"
-      def fwd(k: Int): String =
-        s"""up$k AS MATERIALIZED (
-            SELECT u.user_id, u.f, (u.val + p.s) / 2 AS val
-            FROM u$k u JOIN (
-              SELECT e.user_id, v.f, sum(e.w * v.val) AS s
-              FROM ed e JOIN v$k v ON e.item_id = v.item_id
-              GROUP BY 1, 2) p ON u.user_id = p.user_id AND u.f = p.f),
-           vp$k AS MATERIALIZED (
-            SELECT v.item_id, v.f, (v.val + p.s) / 2 AS val
-            FROM v$k v JOIN (
-              SELECT e.item_id, u.f, sum(e.w * u.val) AS s
-              FROM ed e JOIN u$k u ON e.user_id = u.user_id
-              GROUP BY 1, 2) p ON v.item_id = p.item_id AND v.f = p.f),
-           p$k AS MATERIALIZED (
-            SELECT r.user_id, r.item_id, r.res,
-                   sum(up.val * vp.val) - r.res AS err
-            FROM r JOIN up$k up ON r.user_id = up.user_id
-                   JOIN vp$k vp ON r.item_id = vp.item_id AND up.f = vp.f
-            GROUP BY r.user_id, r.item_id, r.res)"""
-      val head = Seq(
-        s"r0 AS MATERIALIZED ($rview)",
-        "g AS MATERIALIZED (SELECT avg(rating) AS mu FROM r0)",
-        "r AS MATERIALIZED (SELECT user_id, item_id, rating - mu AS res FROM r0 CROSS JOIN g)",
-        """du AS MATERIALIZED (SELECT user_id, count(*) AS du FROM r GROUP BY 1)""",
-        """di AS MATERIALIZED (SELECT item_id, count(*) AS di FROM r GROUP BY 1)""",
-        """ed AS MATERIALIZED (SELECT r.user_id, r.item_id,
-              1.0 / sqrt(du.du * di.di) AS w
-            FROM r JOIN du USING (user_id) JOIN di USING (item_id))""",
-        s"fs AS (SELECT unnest(range($GdRank)) AS f)",
-        s"u0 AS MATERIALIZED (SELECT user_id, f, ${h32init("u", "user_id")} AS val FROM (SELECT DISTINCT user_id FROM r) CROSS JOIN fs)",
-        s"v0 AS MATERIALIZED (SELECT item_id, f, ${h32init("i", "item_id")} AS val FROM (SELECT DISTINCT item_id FROM r) CROSS JOIN fs)")
-      val epochs = (0 until GdEpochs).map { k =>
-        s"""${fwd(k)},
+  /** Forward-propagation CTEs at epoch `k` (needs ed/r/u$k/v$k in
+    * scope): the propagated tables up$k/vp$k and the per-rating error
+    * relation p$k. */
+  private def lightgcnFwdCte(k: Int): String =
+    s"""up$k AS MATERIALIZED (
+        SELECT u.user_id, u.f, (u.val + p.s) / 2 AS val
+        FROM u$k u JOIN (
+          SELECT e.user_id, v.f, sum(e.w * v.val) AS s
+          FROM ed e JOIN v$k v ON e.item_id = v.item_id
+          GROUP BY 1, 2) p ON u.user_id = p.user_id AND u.f = p.f),
+       vp$k AS MATERIALIZED (
+        SELECT v.item_id, v.f, (v.val + p.s) / 2 AS val
+        FROM v$k v JOIN (
+          SELECT e.item_id, u.f, sum(e.w * u.val) AS s
+          FROM ed e JOIN u$k u ON e.user_id = u.user_id
+          GROUP BY 1, 2) p ON v.item_id = p.item_id AND v.f = p.f),
+       p$k AS MATERIALIZED (
+        SELECT r.user_id, r.item_id, r.res,
+               sum(up.val * vp.val) - r.res AS err
+        FROM r JOIN up$k up ON r.user_id = up.user_id
+               JOIN vp$k vp ON r.item_id = vp.item_id AND up.f = vp.f
+        GROUP BY r.user_id, r.item_id, r.res)"""
+
+  /** The unrolled LightGCN training CTE chain (the q88 oracle's spine,
+    * shared with q107 which trains on a SPLIT): from a raw ratings
+    * relation named `rin` through the final propagated factor tables
+    * `up$GdEpochs` / `vp$GdEpochs` (emitted by the trailing
+    * [[lightgcnFwdCte]]), with the train mean in `g` and the training
+    * residuals in `r`. */
+  private def lightgcnOracleCtes: Seq[String] = {
+    val lr = 16.0
+    def h32init(kind: String, idCol: String): String =
+      s"(${OracleSql.h32(s"'$kind' || CAST($idCol AS VARCHAR) || '_' || CAST(f AS VARCHAR)")} % 1000 - 500) / 1000.0"
+    val head = Seq(
+      "g AS MATERIALIZED (SELECT avg(rating) AS mu FROM rin)",
+      "r AS MATERIALIZED (SELECT user_id, item_id, rating - mu AS res FROM rin CROSS JOIN g)",
+      """du AS MATERIALIZED (SELECT user_id, count(*) AS du FROM r GROUP BY 1)""",
+      """di AS MATERIALIZED (SELECT item_id, count(*) AS di FROM r GROUP BY 1)""",
+      """ed AS MATERIALIZED (SELECT r.user_id, r.item_id,
+            1.0 / sqrt(du.du * di.di) AS w
+          FROM r JOIN du USING (user_id) JOIN di USING (item_id))""",
+      s"fs AS (SELECT unnest(range($GdRank)) AS f)",
+      s"u0 AS MATERIALIZED (SELECT user_id, f, ${h32init("u", "user_id")} AS val FROM (SELECT DISTINCT user_id FROM r) CROSS JOIN fs)",
+      s"v0 AS MATERIALIZED (SELECT item_id, f, ${h32init("i", "item_id")} AS val FROM (SELECT DISTINCT item_id FROM r) CROSS JOIN fs)")
+    val epochs = (0 until GdEpochs).map { k =>
+      s"""${lightgcnFwdCte(k)},
            gup$k AS MATERIALIZED (
              SELECT p.user_id, vp.f, avg(p.err * vp.val) AS grad
              FROM p$k p JOIN vp$k vp ON p.item_id = vp.item_id
@@ -609,12 +614,67 @@ object Recommender {
            v${k + 1} AS MATERIALIZED (
              SELECT v.item_id, v.f, v.val - $lr * (g.grad + $GdReg * v.val) AS val
              FROM v$k v JOIN gv$k g ON v.item_id = g.item_id AND v.f = g.f)"""
-      }
+    }
+    head ++ epochs
+  }
+
+  val lightgcnTraining = Q(
+    "q88_lightgcn_training",
+    (s, d) => graft.rec.GradientMF.lightgcnTrainTrajectory(
+      Ratings.view(s, d), GdRank, lr = 16.0, reg = GdReg, GdEpochs),
+    Some {
       val losses = (0 to GdEpochs).map(k =>
         s"SELECT CAST($k AS BIGINT) AS epoch, round(sqrt(avg(err * err)), 6) AS rmse FROM p$k")
         .mkString("\nUNION ALL\n")
-      s"""WITH ${(head ++ epochs :+ fwd(GdEpochs)).mkString(",\n")}
+      s"""WITH ${(Seq(s"rin AS MATERIALIZED ($rview)") ++ lightgcnOracleCtes
+          :+ lightgcnFwdCte(GdEpochs)).mkString(",\n")}
           SELECT * FROM ($losses) t ORDER BY epoch"""
+    }
+  )
+
+  /** q88's trainer evaluated on a HELD-OUT split — generalization in
+    * the oracle-checked catalog (GdMfSpec anchors the same holdout to
+    * the reference's published 0.9097 at the ml-100k shape; this runs
+    * the identical machinery at catalog scale with a full oracle):
+    * train LightGCN on the (user+item)%4≠0 split, score the %4=0
+    * holdout with the final PROPAGATED embeddings, report
+    * `(n_test, baseline_rmse, test_rmse)` where the baseline predicts
+    * the train mean. Pairs whose user or item never appears in
+    * training drop (the standard known-entity evaluation — the inner
+    * factor joins do it on both engines). The oracle unrolls training
+    * AND holdout scoring in one CTE chain, so what DuckDB verifies is
+    * that the model evaluated on unseen data is exactly the model the
+    * gradient algebra produces. */
+  val lightgcnHoldoutEval = Q(
+    "q107_lightgcn_holdout",
+    (s, d) => {
+      val r = Ratings.view(s, d)
+      val test = r.where((col("user_id") + col("item_id")) % 4 === 0)
+      val train = r.where((col("user_id") + col("item_id")) % 4 =!= 0)
+      graft.rec.GradientMF.lightgcnHoldout(
+        train, test, GdRank, lr = 16.0, reg = GdReg, GdEpochs)
+    },
+    Some {
+      val e = GdEpochs
+      val split = Seq(
+        s"r0 AS MATERIALIZED ($rview)",
+        "test AS MATERIALIZED (SELECT * FROM r0 WHERE (user_id + item_id) % 4 = 0)",
+        "rin AS MATERIALIZED (SELECT * FROM r0 WHERE (user_id + item_id) % 4 <> 0)")
+      val eval = Seq(
+        """ts AS (SELECT t.user_id, t.item_id, t.rating - g.mu AS res
+            FROM test t CROSS JOIN g)""",
+        s"""pe AS MATERIALIZED (
+            SELECT ts.user_id, ts.item_id, ts.res,
+                   sum(up.val * vp.val) - ts.res AS err
+            FROM ts JOIN up$e up ON ts.user_id = up.user_id
+                 JOIN vp$e vp ON ts.item_id = vp.item_id AND vp.f = up.f
+            GROUP BY 1, 2, 3)""")
+      s"""WITH ${(split ++ lightgcnOracleCtes ++ Seq(lightgcnFwdCte(e))
+          ++ eval).mkString(",\n")}
+          SELECT CAST(count(*) AS BIGINT) AS n_test,
+                 round(sqrt(avg(res * res)), 6) AS baseline_rmse,
+                 round(sqrt(avg(err * err)), 6) AS test_rmse
+          FROM pe"""
     }
   )
 
@@ -736,5 +796,5 @@ object Recommender {
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
     graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy,
     weightedLoss, bprLoss, mfGdTraining, bprGdTraining, lightgcnTraining,
-    userTopkAgg, bprTopnMetric)
+    userTopkAgg, bprTopnMetric, lightgcnHoldoutEval)
 }
