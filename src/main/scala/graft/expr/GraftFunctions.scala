@@ -39,6 +39,11 @@ object GraftFunctions {
       udaf(new CountMinSketch(4, 256), ExpressionEncoder[Array[Long]]()))
     spark.udf.register("bloom_2048",
       udaf(new BloomBits(2048), ExpressionEncoder[Array[Long]]()))
+    // distinct-count registers (q108); takes the pre-encoded
+    // bucket*32+rho slot, so bucketing/rank stay shared relational
+    // expressions like the CMS/Bloom hash families
+    spark.udf.register("hll_64",
+      udaf(new HllRegisters(64), Encoders.scalaLong))
   }
 
   /** One-pass character k-gram shingling (see [[CharShingles]]); requires

@@ -341,6 +341,98 @@ object Analytics {
     }
   )
 
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+    * industry-standard counterpart to q77's KMV, oracle-checked where
+    * built-in HLLs never can be (`approx_count_distinct`'s registers
+    * and estimator are implementation-private; here both are explicit
+    * over the shared 32-bit hash): 64 buckets from the hash's top 6
+    * bits, rank = leading-zero count of the low 26 bits + 1 computed as
+    * `27 − length(bin(rem))` — an exact INTEGER-STRING operation on
+    * both engines, no float log2 — registers held by
+    * [[graft.expr.HllRegisters]] (a true partial aggregate: O(m) state,
+    * merge = elementwise max, the HLL union rule; PlanSpec asserts no
+    * distinct()/Window anywhere). The indicator sum Σ2^−Mⱼ is EXACT in
+    * doubles (binary fractions, denominators ≤ 2²⁷), so the raw
+    * estimate is order-independent without rounding tricks. Counted
+    * entity: distinct USER-DAYS per event type (the activity metric a
+    * DAU pipeline sketches; day = exact integer floor-division of epoch
+    * micros, q94's rule) — ~4.4k per type at sf0.01, which exercises
+    * the RAW estimator branch at driver scales; Flajolet's
+    * linear-counting small-range branch `m·ln(m/V)` is
+    * HllSketchSpec's territory. Exact count alongside, as q77. */
+  val hllSketch = Q(
+    "q108_hll_sketch",
+    (s, d) => {
+      val m = 64
+      val alphaM2 = 0.709 * m * m // Flajolet's alpha_64 * m^2
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("_"),
+            expr("unix_micros(ts) div 86400000000").cast("string"))
+            .as("key"))
+      val h = conv(substring(md5(col("key")), 1, 8), 16, 10).cast("long")
+      val hll = graft.expr.HllRegisters.agg(m)
+      val slot = e.select(col("event_type"), h.as("h"))
+        .select(col("event_type"),
+          expr("h div 67108864").as("bucket"), // top 6 of 32 bits
+          (col("h") % 67108864L).as("rem")) // low 26 bits
+        .select(col("event_type"),
+          (col("bucket") * 32 +
+            when(col("rem") === 0, lit(27L))
+              .otherwise(lit(27L) - length(bin(col("rem"))).cast("long")))
+            .as("slot"))
+      val stats = slot.groupBy(col("event_type"))
+        .agg(hll(col("slot")).as("regs"))
+        .select(col("event_type"),
+          aggregate(col("regs"), lit(0.0),
+            (z, r) => z + pow(lit(2.0), -r.cast("double"))).as("z"),
+          size(filter(col("regs"), _ === 0L)).as("v"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("key")).as("n_exact"))
+      exact.join(stats, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          round(when(lit(alphaM2) / col("z") <= 2.5 * m && col("v") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .otherwise(lit(alphaM2) / col("z")), 3).as("hll_est"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val m = 64
+      val alphaM2 = 0.709 * m * m
+      s"""WITH e AS (SELECT event_type,
+              CAST(user_id AS VARCHAR) || '_' ||
+              CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR)
+                AS key
+            FROM events),
+          h AS (SELECT DISTINCT event_type, ${OracleSql.h32("key")} AS h
+                FROM e),
+          b AS (SELECT event_type, h // 67108864 AS bucket,
+                  h % 67108864 AS rem FROM h),
+          r AS (SELECT event_type, bucket,
+                  CASE WHEN rem = 0 THEN 27
+                       ELSE 27 - length(bin(rem)) END AS rho
+                FROM b),
+          regs AS (SELECT event_type, bucket, max(rho) AS mj
+                   FROM r GROUP BY 1, 2),
+          et AS (SELECT DISTINCT event_type FROM e),
+          bs AS (SELECT unnest(range($m)) AS bucket),
+          fl AS (SELECT et.event_type, bs.bucket, coalesce(regs.mj, 0) AS mj
+                 FROM et CROSS JOIN bs
+                 LEFT JOIN regs ON regs.event_type = et.event_type
+                   AND regs.bucket = bs.bucket),
+          st AS (SELECT event_type, sum(power(2.0, -mj)) AS z,
+                   sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+                 FROM fl GROUP BY 1),
+          ex AS (SELECT event_type, count(DISTINCT key) AS n_exact
+                 FROM e GROUP BY 1)
+          SELECT ex.event_type, ex.n_exact,
+            round(CASE WHEN $alphaM2 / st.z <= ${2.5 * m} AND st.v > 0
+                  THEN $m * ln($m / CAST(st.v AS DOUBLE))
+                  ELSE $alphaM2 / st.z END, 3) AS hll_est
+          FROM ex JOIN st USING (event_type) ORDER BY event_type"""
+    }
+  )
+
   /** Quantiles from a deterministic 10% USER hash-sample vs exact, with
     * the absolute error alongside — the data-profiling face of the
     * sketch family (q77 distinct counts, q90 heavy hitters): at 100 TB
@@ -492,5 +584,5 @@ object Analytics {
   val all: Seq[Q] = Seq(rollupStats, statAggs, percentiles, dateParts,
     intersectYears, exceptYears, pivotFlags, runningTotals, labelCentroids,
     fuzzyNames, distinctCounts, sqlCorrelated, distributionWindows, kmvSketch,
-    sampledQuantiles, cubeStats, unpivotMetrics, rollingDau)
+    sampledQuantiles, cubeStats, unpivotMetrics, rollingDau, hllSketch)
 }

@@ -110,6 +110,20 @@ class PlanSpec extends SparkSpec {
       s"q98's sketch is not a typed partial aggregate:\n$p")
   }
 
+  test("q108 HLL registers build as one bounded partial aggregate") {
+    // The m-register table must come from a single ObjectHashAggregate
+    // pass (merge = elementwise max) — no window, and no distinct()
+    // shuffle of the keys themselves (dedup is absorbed by max): the
+    // whole point of sketching the count is never materializing the
+    // distinct set. (The exact count reported ALONGSIDE for comparison
+    // is allowed its aggregate; what's pinned is no Window and the
+    // typed-aggregate register build.)
+    val p = plan("q108_hll_sketch")
+    assert(!p.contains("Window"), s"q108 plans a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q108's registers are not a typed partial aggregate:\n$p")
+  }
+
   test("q99 bloom probe is map-side — no corpus-side gram join for the filter") {
     // The corpus gram stream must meet the bit array via a broadcast
     // (one-row) join only; the exact-comparison join is broadcast too.

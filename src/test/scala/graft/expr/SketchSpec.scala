@@ -88,4 +88,63 @@ class SketchSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(one == many)
   }
+
+  // ---- HLL (q108's registers; m = 64, 6 bucket bits + 26 rank bits) --
+
+  private val HllM = 64
+
+  /** The q108 slot encoding: bucket*32 + rho over the shared hash. */
+  private def hllSlot(c: org.apache.spark.sql.Column) = {
+    val h = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val rem = h % 67108864L
+    shiftright(h, 26) * 32 +
+      when(rem === 0, lit(27L))
+        .otherwise(lit(27L) - length(bin(rem)).cast("long"))
+  }
+
+  private def refRegisters(keys: Seq[String]): Seq[Long] = {
+    val regs = new Array[Long](HllM)
+    keys.distinct.foreach { k =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = (h >>> 26).toInt
+      val rem = h & ((1L << 26) - 1)
+      val rho =
+        if (rem == 0) 27L
+        else 27L - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    regs.toSeq
+  }
+
+  test("HLL registers == brute-force rebuild, independent of partitioning") {
+    val keys = (1 to 3000).map(i => s"k${i % 911}")
+    val expected = refRegisters(keys)
+    Seq(1, 7).foreach { parts =>
+      val got = keys.toDF("s").repartition(parts)
+        .agg(HllRegisters.agg(HllM)(hllSlot(col("s"))).as("r"))
+        .as[Seq[Long]].head()
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("HLL small-range branch: linear counting lands near the true count") {
+    // q108's estimator takes Flajolet's linear-counting branch when the
+    // raw estimate is <= 2.5m and empty registers exist — the regime the
+    // driver fixture never enters (its cardinalities are ~25x m), so the
+    // branch is pinned here: 40 distinct keys against m=64.
+    val n = 40
+    val regs = (1 to n).map(i => s"lc$i").toDF("s")
+      .agg(HllRegisters.agg(HllM)(hllSlot(col("s"))).as("r"))
+      .as[Seq[Long]].head()
+    val v = regs.count(_ == 0L)
+    val z = regs.map(r => math.pow(2.0, -r.toDouble)).sum
+    val raw = 0.709 * HllM * HllM / z
+    assert(raw <= 2.5 * HllM && v > 0,
+      s"fixture must exercise the small-range branch: raw=$raw v=$v")
+    val est = HllM * math.log(HllM.toDouble / v)
+    assert(math.abs(est - n) / n < 0.2,
+      f"linear counting off: est=$est%.1f vs true $n")
+  }
 }
