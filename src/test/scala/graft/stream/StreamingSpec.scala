@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sum == 6L * D) // one increment per row per hash row
   }
 
+  test("streaming exact dedup: a duplicate arriving batches later emits once") {
+    // q26's exact dedup as a stream: dropDuplicates holds the seen-key
+    // set in the state store, so a replayed event in a LATER micro-batch
+    // is suppressed, not re-emitted — the replay-safety face of the
+    // dedup pipeline (q85's batch replay-dedup is the offline twin).
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "payload")
+      .dropDuplicates("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    in.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    in.addData((1L, "a-replayed"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream").as[(Long, String)].collect()
+    assert(got.length == 3)
+    // the FIRST arrival wins; the replay's payload never surfaces
+    assert(got.toMap == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("streaming Bloom: the filter builds incrementally and equals batch") {
     // q99's Bloom synopsis as a streaming aggregate — the second
     // bounded-state synopsis face: merge is elementwise OR (filter
