@@ -411,8 +411,23 @@ object TextOps {
         .join(l.select(col("doc_id").as("keeper"), col("keeper").as("k2")),
           Seq("keeper"))
         .select(col("doc_id"), col("k2").as("keeper"))
-      val labels = labelCache.getOrElseUpdate((SessionIds.of(s), d),
-        (1 to CcRounds).foldLeft(init) { (lab, _) =>
+      val labels = labelCache.getOrElseUpdate((SessionIds.of(s), d), {
+        // Adaptive rounds: every node's label is non-increasing (min over
+        // neighbors ∪ self; jump maps through labels ≤ their keys), so
+        // the label-sum strictly decreases until the fixpoint and an
+        // unchanged sum IS convergence — stop there instead of always
+        // running the worst-case round count (at 100 TB, rounds are the
+        // dominant cost and real diameters are usually far below the
+        // bound). Capped at the same CcRounds the oracle unrolls, so a
+        // non-converged pathological graph still gets the oracle's exact
+        // labels; a converged one is a fixpoint the oracle's extra
+        // rounds cannot move. The sum rides as decimal(38,0) so
+        // billion-scale doc_ids cannot overflow the check.
+        var lab = init
+        var prevSum: java.math.BigDecimal = null
+        var round = 0
+        var converged = false
+        while (round < CcRounds && !converged) {
           val stepped = withSelf
             .join(lab.select(col("doc_id").as("src"), col("keeper")), Seq("src"))
             .groupBy(col("dst").as("doc_id"))
@@ -423,8 +438,15 @@ object TextOps {
           // Eagerly checkpointing the |nodes|-row label table per round is
           // the standard iterative-graph pattern (GraphX Pregel does the
           // same): one tiny distributed job per round, constant-size plans.
-          jump(jump(stepped)).localCheckpoint(true)
-        })
+          lab = jump(jump(stepped)).localCheckpoint(true)
+          val s0 = lab.agg(sum(col("keeper").cast("decimal(38,0)")))
+            .head().getDecimal(0)
+          if (prevSum != null && s0.compareTo(prevSum) == 0) converged = true
+          else prevSum = s0
+          round += 1
+        }
+        lab
+      })
       labels.select(col("doc_id"), col("keeper").as("keeper_id"))
         .orderBy(col("doc_id"))
     },
