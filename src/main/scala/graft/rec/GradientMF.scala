@@ -366,8 +366,13 @@ object GradientMF {
     var u = init("u", "user_id").checkpointLeaf
     var v = init("i", "item_id").checkpointLeaf
     for (k <- 0 until epochs) {
-      val up = mix(u, v, "user_id", "item_id").checkpointLeaf
-      val vp = mix(v, u, "item_id", "user_id").checkpointLeaf
+      // up/vp feed ONLY predictions (the gradient mixes read p's embedded
+      // uv/vv columns), and p is checkpointed right here — materializing
+      // them separately was two wasted jobs per epoch; as plain plans
+      // they evaluate exactly once inside p's checkpoint, and plans stay
+      // constant-size because u/v are checkpointed leaves
+      val up = mix(u, v, "user_id", "item_id")
+      val vp = mix(v, u, "item_id", "user_id")
       val p = predictions(up, vp).checkpointLeaf
       onEpoch(k, p)
       val gup = p.groupBy(col("user_id"))
