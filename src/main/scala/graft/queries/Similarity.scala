@@ -542,57 +542,75 @@ object Similarity {
     * reranked by exact distance against the raw vectors (raw ADC top-3
     * measured recall 0.17; shortlist+rerank is how PQ is actually
     * served, and lands at 0.90 — q110 measures it). */
+  /** Per-subspace codebooks, the encoded index, and the probe ADC
+    * tables: `(enc (neighbor_id, sub, code), ptab (probe_id, sub, code,
+    * pd))` — shared by the flat-PQ (q109) and IVF-PQ (q111) paths. */
+  private def pqEncode(e: DataFrame): (DataFrame, DataFrame) = {
+    import graft.rec.Clustering
+    val parts = (0 until PqS).map { sub =>
+      val sv = e.select(col("vec_id"),
+        slice(col("emb"), sub * PqSub + 1, PqSub).as("emb"))
+      (sub, sv, Clustering.lloydKMeans(sv, PqK, PqIters))
+    }
+    // encoded index: 4 code ids per vector — all the scan ever reads
+    val enc = parts.map { case (sub, sv, cb) =>
+      Clustering.assignCells(sv, cb, nprobe = 1)
+        .select(col("vec_id").as("neighbor_id"), lit(sub).as("sub"),
+          col("cid").as("code"))
+    }.reduce(_ unionAll _)
+    // probe-side ADC tables: (probe, subspace, code) -> partial dist
+    val ptab = parts.map { case (sub, sv, cb) =>
+      sv.where(col("vec_id") < 10)
+        .crossJoin(broadcast(cb))
+        .select(col("vec_id").as("probe_id"), lit(sub).as("sub"),
+          col("cid").as("code"), pdist(col("emb"), col("c")).as("pd"))
+    }.reduce(_ unionAll _)
+    (enc, ptab)
+  }
+
+  /** ADC shortlist: from (probe_id, neighbor_id, pd) partial-distance
+    * rows to the `limit` best candidates per probe. */
+  private def adcTop(scored: DataFrame, limit: Int): DataFrame = {
+    val wa = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(round(sum(col("pd")), 6).as("adist"))
+      .withColumn("srank", row_number().over(wa))
+      .where(col("srank") <= limit)
+      .select(col("probe_id"), col("neighbor_id"))
+  }
+
+  /** Exact rerank of a (probe_id, neighbor_id) shortlist — raw vectors
+    * are touched ONLY for these rows. */
+  private def exactRerankTop3(shortlist: DataFrame, e: DataFrame): DataFrame = {
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val we = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
+        Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("dist",
+        round(sqrt(aggregate(zip_with(col("pe"), col("ce"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val pqAnn = Q(
     "q109_pq_ann",
     (s, d) => {
-      import graft.rec.Clustering
       val e = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val parts = (0 until PqS).map { sub =>
-        val sv = e.select(col("vec_id"),
-          slice(col("emb"), sub * PqSub + 1, PqSub).as("emb"))
-        val cb = Clustering.lloydKMeans(sv, PqK, PqIters)
-        (sub, sv, cb)
-      }
-      // encoded index: 4 code ids per vector — all the scan ever reads
-      val enc = parts.map { case (sub, sv, cb) =>
-        Clustering.assignCells(sv, cb, nprobe = 1)
-          .select(col("vec_id").as("neighbor_id"), lit(sub).as("sub"),
-            col("cid").as("code"))
-      }.reduce(_ unionAll _)
-      // probe-side ADC tables: (probe, subspace, code) -> partial dist
-      val ptab = parts.map { case (sub, sv, cb) =>
-        sv.where(col("vec_id") < 10)
-          .crossJoin(broadcast(cb))
-          .select(col("vec_id").as("probe_id"), lit(sub).as("sub"),
-            col("cid").as("code"), pdist(col("emb"), col("c")).as("pd"))
-      }.reduce(_ unionAll _)
-      val wa = Window.partitionBy(col("probe_id"))
-        .orderBy(col("adist"), col("neighbor_id"))
-      val shortlist = enc.join(broadcast(ptab), Seq("sub", "code"))
-        .where(col("probe_id") =!= col("neighbor_id"))
-        .groupBy(col("probe_id"), col("neighbor_id"))
-        .agg(round(sum(col("pd")), 6).as("adist"))
-        .withColumn("srank", row_number().over(wa))
-        .where(col("srank") <= PqShortlist)
-        .select(col("probe_id"), col("neighbor_id"))
-      // exact rerank touches raw vectors ONLY for the shortlist rows
-      val probes = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
-      val we = Window.partitionBy(col("probe_id"))
-        .orderBy(col("dist"), col("neighbor_id"))
-      shortlist
-        .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
-          Seq("neighbor_id"))
-        .join(broadcast(probes), Seq("probe_id"))
-        .withColumn("dist",
-          round(sqrt(aggregate(zip_with(col("pe"), col("ce"),
-            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6))
-        .withColumn("rank", row_number().over(we).cast("long"))
-        .where(col("rank") <= 3)
-        .select(col("probe_id"), col("neighbor_id"), col("rank"),
-          col("dist"))
-        .orderBy(col("probe_id"), col("rank"))
+      val (enc, ptab) = pqEncode(e)
+      val shortlist = adcTop(
+        enc.join(broadcast(ptab), Seq("sub", "code"))
+          .where(col("probe_id") =!= col("neighbor_id")),
+        PqShortlist)
+      exactRerankTop3(shortlist, e)
         .cache() // q110 reuses the ranked result
     },
     Some(s"""$pqCtes,
@@ -629,8 +647,9 @@ object Similarity {
     * deterministic-init unrolled Lloyd rounds as the engine (q57's
     * assignment rule — argmin over 6dp-ROUNDED distance, cid tiebreak),
     * then the encoded index `enc` (neighbor_id, sub, code) and the
-    * probe ADC tables `ptab` (probe_id, sub, code, pd). */
-  private def pqCtes: String = {
+    * probe ADC tables `ptab` (probe_id, sub, code, pd). Assumes a CTE
+    * `e` (vec_id, emb DOUBLE[]) is already in scope. */
+  private def pqSubCtes: String = {
     def assignSql(src: String, cent: String): String =
       s"""SELECT vec_id, emb, cid FROM (
             SELECT e.vec_id, e.emb, c.cid,
@@ -665,12 +684,18 @@ object Similarity {
           FROM s${sub}v p CROSS JOIN s${sub}c$PqIters c
           WHERE p.vec_id < 10"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-            FROM embeddings),
-        $subs,
+    s"""$subs,
         enc AS ($enc),
         ptab AS ($ptab)"""
   }
+
+  /** pqSubCtes prefixed with the shared `e` relation (flat-PQ form; the
+    * IVF-PQ oracle appends [[pqSubCtes]] to [[ivfCtes]], which already
+    * defines the identical `e`). */
+  private def pqCtes: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+        $pqSubCtes"""
 
   /** Recall@3 of the PQ/ADC path (q109) against the exact EUCLIDEAN
     * top-3 (PQ approximates L2, so the baseline ranks by L2, not
@@ -718,6 +743,141 @@ object Similarity {
               ON x.probe_id = p.probe_id AND x.neighbor_id = p.neighbor_id""")
   )
 
+  private val IvfPqShortlist = 40
+
+  /** IVF-PQ — the two prunings COMPOSED, which is the production ANN
+    * architecture at 100 TB (Jégou et al. 2011 §V; FAISS IndexIVFPQ):
+    * q57's coarse quantizer prunes WHICH vectors are candidates (only
+    * the probe's nprobe=2 of 16 cells are scanned — at q83's partition
+    * layout that is an I/O bound), and q109's PQ codes prune WHAT the
+    * scan reads per candidate (4 code bytes, not 64 floats). ADC
+    * shortlist of 40 within the probed cells, then exact rerank touches
+    * raw vectors only for those rows. Codes encode the raw vectors
+    * (non-residual PQ — the variant that keeps one codebook valid
+    * across all cells); q112 measures the composed recall. */
+  val ivfPqAnn = Q(
+    "q111_ivfpq_ann",
+    (s, d) => {
+      import graft.rec.Clustering
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val ev = e.select(col("vec_id"), col("emb"))
+      val cent = Clustering.lloydKMeans(ev, IvfK, IvfIters).cache()
+      val cells = Clustering.assignCells(ev, cent, nprobe = 1)
+        .select(col("vec_id").as("neighbor_id"), col("cid"))
+      val probeCells = Clustering.assignCells(
+        ev.where(col("vec_id") < 10), cent, nprobe = IvfNProbe)
+        .select(col("vec_id").as("probe_id"), col("cid"))
+      val cand = cells.join(broadcast(probeCells), Seq("cid"))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"))
+      val (enc, ptab) = pqEncode(e)
+      val shortlist = adcTop(
+        cand.join(enc, Seq("neighbor_id"))
+          .join(broadcast(ptab), Seq("probe_id", "sub", "code")),
+        IvfPqShortlist)
+      exactRerankTop3(shortlist, e)
+        .cache() // q112 reuses the ranked result
+    },
+    Some(s"""$ivfCtes,
+          $pqSubCtes,
+          cand AS (SELECT p.probe_id, i.vec_id AS neighbor_id
+                   FROM probe p JOIN idx i
+                     ON i.cid = p.cid AND i.vec_id <> p.probe_id),
+          sl AS (SELECT probe_id, neighbor_id FROM (
+                   SELECT a.probe_id, a.neighbor_id,
+                     row_number() OVER (PARTITION BY a.probe_id
+                       ORDER BY a.adist, a.neighbor_id) AS srank
+                   FROM (SELECT c.probe_id, c.neighbor_id,
+                           round(sum(pt.pd), 6) AS adist
+                         FROM cand c
+                         JOIN enc en ON en.neighbor_id = c.neighbor_id
+                         JOIN ptab pt ON pt.probe_id = c.probe_id
+                           AND pt.sub = en.sub AND pt.code = en.code
+                         GROUP BY 1, 2) a) s
+                 WHERE srank <= $IvfPqShortlist),
+          top AS (SELECT probe_id, neighbor_id, rank, dist FROM (
+                   SELECT s.probe_id, s.neighbor_id,
+                     round(list_distance(p.emb, n.emb), 6) AS dist,
+                     row_number() OVER (PARTITION BY s.probe_id ORDER BY
+                       round(list_distance(p.emb, n.emb), 6),
+                       s.neighbor_id) AS rank
+                   FROM sl s JOIN e p ON p.vec_id = s.probe_id
+                        JOIN e n ON n.vec_id = s.neighbor_id) t
+                 WHERE rank <= 3)
+          SELECT probe_id, neighbor_id, rank, dist
+          FROM top ORDER BY probe_id, rank""")
+  )
+
+  /** Recall@3 of the composed IVF-PQ path (q111) against the exact
+    * euclidean top-3 — the acceptance number for BOTH prunings applied
+    * at once (cells bound it above by what nprobe reaches; PQ shortlist
+    * bounds it below that), q66/q67/q110's idiom. */
+  val ivfPqRecall = Q(
+    "q112_ivfpq_recall",
+    (s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      val exact = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+        .crossJoin(broadcast(probes))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("dist",
+          round(sqrt(aggregate(zip_with(col("pe"), col("ce"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"))
+      val found = ivfPqAnn.run(s, d)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(found, Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+             count(col("hit")).as("n_found"),
+             round(count(col("hit")).cast("double") / count(lit(1)), 6)
+               .as("recall"))
+    },
+    Some(s"""$ivfCtes,
+            $pqSubCtes,
+            cand AS (SELECT p.probe_id, i.vec_id AS neighbor_id
+                     FROM probe p JOIN idx i
+                       ON i.cid = p.cid AND i.vec_id <> p.probe_id),
+            sl AS (SELECT probe_id, neighbor_id FROM (
+                     SELECT a.probe_id, a.neighbor_id,
+                       row_number() OVER (PARTITION BY a.probe_id
+                         ORDER BY a.adist, a.neighbor_id) AS srank
+                     FROM (SELECT c.probe_id, c.neighbor_id,
+                             round(sum(pt.pd), 6) AS adist
+                           FROM cand c
+                           JOIN enc en ON en.neighbor_id = c.neighbor_id
+                           JOIN ptab pt ON pt.probe_id = c.probe_id
+                             AND pt.sub = en.sub AND pt.code = en.code
+                           GROUP BY 1, 2) a) s
+                   WHERE srank <= $IvfPqShortlist),
+            ivfpq AS (SELECT probe_id, neighbor_id, 1 AS hit FROM (
+                     SELECT s.probe_id, s.neighbor_id,
+                       row_number() OVER (PARTITION BY s.probe_id ORDER BY
+                         round(list_distance(p.emb, n.emb), 6),
+                         s.neighbor_id) AS rank
+                     FROM sl s JOIN e p ON p.vec_id = s.probe_id
+                          JOIN e n ON n.vec_id = s.neighbor_id) t
+                   WHERE rank <= 3),
+            exact AS (SELECT probe_id, neighbor_id FROM (
+              SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  round(list_distance(a.emb, b.emb), 6), b.vec_id) AS rank
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10) t WHERE rank <= 3)
+            SELECT count(*) AS n_exact,
+                   count(p.hit) AS n_found,
+                   round(CAST(count(p.hit) AS DOUBLE) / count(*), 6) AS recall
+            FROM exact x LEFT JOIN ivfpq p
+              ON x.probe_id = p.probe_id AND x.neighbor_id = p.neighbor_id""")
+  )
+
   val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn,
-    lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup, pqAnn, pqRecall)
+    lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup, pqAnn, pqRecall,
+    ivfPqAnn, ivfPqRecall)
 }
