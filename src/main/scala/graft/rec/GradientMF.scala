@@ -60,7 +60,16 @@ object GradientMF {
     * a leaf whose stats are the CONSTANT `defaultSizeInBytes`, so
     * planning cost stays flat in epochs; AQE re-plans joins from real
     * runtime shuffle sizes anyway, and every explicitly-broadcast side
-    * here is marked with `broadcast()`. */
+    * here is marked with `broadcast()`.
+    *
+    * Negative result, measured: re-wrapping the INTERNAL-row RDD
+    * instead (`internalCreateDataFrame(qe.toRdd, schema)` via an
+    * org.apache.spark.sql shim, to skip this path's external-Row round
+    * trip) benched ~30% SLOWER on the trainers (q86-q88/q106/q107:
+    * 61.6 s vs 47.1 s, same set, the slower run under LIGHTER host
+    * load) — the Row path deserializes through a codegen'd projection
+    * while the raw internal-row scan copies per row. The public API
+    * stays. */
   private implicit class CheckpointLeaf(df: DataFrame) {
     def checkpointLeaf: DataFrame = {
       val ck = df.localCheckpoint(true)
