@@ -127,6 +127,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL: registers build incrementally and equal batch") {
+    // q108's HyperLogLog as a streaming aggregate — completes the
+    // bounded-state synopsis family's streaming story (CMS: add,
+    // Bloom: OR, HLL: elementwise MAX): the state store holds one
+    // m-register table and each batch maxes into it, so a stream-built
+    // register table is identical to the batch-built one over the same
+    // elements — and therefore yields the identical distinct estimate.
+    implicit val sc = spark.sqlContext
+    graft.expr.GraftFunctions.register(spark)
+    val slotExpr = "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    val enc = s"(($slotExpr div 67108864) * 32 + " +
+      s"CASE WHEN $slotExpr % 67108864 = 0 THEN 27L " +
+      s"ELSE 27L - length(bin($slotExpr % 67108864)) END)"
+    val in = MemoryStream[String]
+    val sk = in.toDF().withColumnRenamed("value", "t")
+      .selectExpr(s"hll_64($enc) AS regs")
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream").start()
+    val batch1 = (1 to 40).map(i => s"u$i")
+    val batch2 = (21 to 60).map(i => s"u$i") // overlaps batch1
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream").as[Seq[Long]].head()
+    val batch = (batch1 ++ batch2).toDF("t")
+      .selectExpr(s"hll_64($enc) AS regs").as[Seq[Long]].head()
+    assert(streamed == batch)
+    assert(streamed.exists(_ > 0L), "registers stayed empty")
+  }
+
   test("ST3 event parse matches the reference golden table") {
     // ref test/streaming_test.py:107-139: "user movie rating ts" lines
     implicit val sc = spark.sqlContext
