@@ -1136,10 +1136,52 @@ object TextOps {
             FROM r WHERE rank <= 5 ORDER BY source, rank""")
   )
 
+  /** WEIGHTED sampling without replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES) — the third sampling mode next to rate-based
+    * mixing (q79) and uniform stratified draws (q105): per source, keep
+    * the k docs with the largest u^(1/w), selected equivalently by the
+    * monotone key ln(u)/w, where w = n_chars (longer docs
+    * proportionally likelier — a length-weighted mixing policy) and u
+    * is the shared-hash uniform ((h+0.5)/2³², exact in both engines).
+    * Keys are 6dp-rounded before selection (q82's libm-parity rule for
+    * ln) with doc_id tiebreak, and the selection runs as the bounded
+    * [[graft.expr.TopKPairs]] aggregator — ≤ k pairs per task reach the
+    * shuffle, never the stratum (the same scale shape as q105). */
+  val weightedSample = Q(
+    "q113_weighted_sample",
+    (s, d) => {
+      val k = 5
+      val topk = graft.expr.TopKPairs.agg(k)
+      Tables.documents(s, d)
+        .where(col("n_chars") > 0)
+        .select(col("source"), col("doc_id"),
+          round(
+            log((h32(concat(lit("ws"), col("doc_id").cast("string")))
+              .cast("double") + 0.5) / 4294967296.0)
+              / col("n_chars").cast("double"), 6).as("key"))
+        .groupBy(col("source"))
+        .agg(topk(col("key"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("p._2").as("doc_id"), col("p._1").as("key"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH kx AS (SELECT source, doc_id,
+              round(ln((${h32Sql("'ws' || CAST(doc_id AS VARCHAR)")} + 0.5)
+                / 4294967296.0) / CAST(n_chars AS DOUBLE), 6) AS key
+              FROM documents WHERE n_chars > 0),
+            r AS (SELECT source, doc_id, key,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY key DESC, doc_id) AS rank
+                  FROM kx)
+            SELECT source, rank, doc_id, key
+            FROM r WHERE rank <= 5 ORDER BY source, rank""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
     cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters,
     cmsHeavyHitters, bloomDecontamination, bm25, docChunks,
-    sequencePacking, stratifiedSample)
+    sequencePacking, stratifiedSample, weightedSample)
 }
