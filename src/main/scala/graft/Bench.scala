@@ -85,7 +85,10 @@ object Bench {
     def r3(v: Double): String = "%.3f".format(v)
     // keys are the unique qNN prefix: the driver keeps only a 2000-byte
     // stdout TAIL, and 76 full query names put the line's head outside
-    // the window (r5's "parsed": null). qNN keeps the whole line ~1.1 KB.
+    // the window (r5's "parsed": null). qNN keeps the whole line
+    // ~1.44 KB at 111 queries — ~35 more queries of headroom before the
+    // window clips the head again; re-measure `wc -c` when the catalog
+    // approaches 145.
     val qs = results.map { case (k, v) => "\"" + k.split("_").head + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
