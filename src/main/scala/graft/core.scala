@@ -24,6 +24,12 @@ object SessionIds {
   private val ids = new java.util.WeakHashMap[SparkSession, String]()
   private val evictors =
     new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  // ONE listener per SparkContext, firing every sid registered under it:
+  // a per-session listener on the shared context accumulated listeners
+  // without bound in a long-lived driver cycling newSession()s. Weak keys
+  // let a stopped-and-collected context's entry vanish with it.
+  private val contextSids = new java.util.WeakHashMap[
+    org.apache.spark.SparkContext, java.util.Set[String]]()
 
   /** Register a callback invoked with a session's id when that session's
     * SparkContext stops. Memo caches keyed on session ids MUST register
@@ -46,16 +52,26 @@ object SessionIds {
       fresh
     })
     created.foreach { sid =>
-      // one listener per session id; sessions sharing a context
-      // (newSession()) die with it, so context stop is the right signal
-      try s.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit =
-            fireEviction(sid)
-        })
-      catch { case _: IllegalStateException => fireEviction(sid) }
+      // sessions sharing a context (newSession()) die with it, so context
+      // stop is the right signal; the context's single listener drains
+      // every sid registered while it lived
+      val sc = s.sparkContext
+      val existing = contextSids.get(sc)
+      if (existing != null) existing.add(sid)
+      else {
+        val sids = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        sids.add(sid)
+        try {
+          sc.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                  : Unit =
+                sids.forEach(fireEviction)
+            })
+          contextSids.put(sc, sids)
+        } catch { case _: IllegalStateException => fireEviction(sid) }
+      }
     }
     id
   }
