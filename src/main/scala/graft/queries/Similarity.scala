@@ -384,20 +384,34 @@ object Similarity {
     * after GC and serve another session's index); every created dir is
     * registered for recursive deletion at JVM shutdown so per-session
     * indexes can't accumulate across a long-lived driver. */
-  private val ivfIndexDirCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val indexDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
   private[graft] def indexMemoDirs: Seq[String] =
-    ivfIndexDirCache.values.toSeq
+    indexDirCache.values.toSeq
+  /** Memoized on-disk index dir per (session, dataset, kind): build once
+    * (like q83's IVF cells or q114's PQ codes), serve every later probe
+    * from disk. */
+  private def indexDir(s: SparkSession, d: String, kind: String)
+                      (build: String => Unit): String =
+    indexDirCache.getOrElseUpdate(
+      (SessionIds.of(s), d, kind), {
+        val dir = deleteOnExit(java.nio.file.Files
+          .createTempDirectory(s"graft-$kind-catalog")).toString
+        build(dir)
+        dir
+      })
   // a stopped session's index is unreachable — evict the memo entry and
   // reclaim the disk now instead of waiting for the JVM shutdown hook
   graft.SessionIds.registerEvictor { sid =>
-    ivfIndexDirCache.filterInPlace { (k, dir) =>
+    indexDirCache.filterInPlace { (k, dir) =>
       val dead = k._1 == sid
-      if (dead) {
-        val p = java.nio.file.Paths.get(dir)
-        exitDirs.remove(p)
-        deleteRecursively(p)
-      }
+      // claim-based deletion: exitDirs.remove returns true exactly once,
+      // so whichever of {evictor, shutdown hook} claims the dir deletes
+      // it and the other skips — the two can run concurrently at JVM
+      // exit and an unclaimed double-delete made Files.walk throw
+      // mid-eviction, aborting filterInPlace with entries left behind
+      if (dead && exitDirs.remove(java.nio.file.Paths.get(dir)))
+        deleteRecursively(java.nio.file.Paths.get(dir))
       !dead
     }
   }
@@ -409,19 +423,37 @@ object Similarity {
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 
   private def deleteRecursively(dir: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
+    import java.nio.file.{Files, NoSuchFileException, Path}
     import java.util.Comparator
-    if (Files.exists(dir)) {
-      val walk = Files.walk(dir)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
+    try {
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch {
+      // tolerate a concurrent deleter (OS tmp reaper, or a pre-claim
+      // race) ripping entries out from under the walk — the dir is
+      // going away either way, and one dir's failure must not
+      // propagate to the caller's loop over the remaining dirs
+      case _: NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[NoSuchFileException] => ()
     }
   }
 
   private lazy val exitHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      exitDirs.forEach(deleteRecursively)
+      // claim each dir (remove returns true once) so a session evictor
+      // running concurrently can't delete the same dir, and guard each
+      // deletion so one failure can't kill the hook thread and leak the
+      // rest of the set
+      exitDirs.forEach { p =>
+        if (exitDirs.remove(p))
+          try deleteRecursively(p)
+          catch { case _: Throwable => () }
+      }
     }))
 
   private def deleteOnExit(dir: java.nio.file.Path): java.nio.file.Path = {
@@ -447,15 +479,10 @@ object Similarity {
     (s, d) => {
       val e = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val dir = ivfIndexDirCache.getOrElseUpdate(
-        (SessionIds.of(s), d), {
-          val dir = deleteOnExit(java.nio.file.Files
-            .createTempDirectory("graft-ivf-catalog")).toString
-          graft.rec.IvfIndex.build(e, dir, IvfK, IvfIters)
-          dir
-        })
+      val dir = indexDir(s, d, "ivf")(
+        graft.rec.IvfIndex.build(e, _, IvfK, IvfIters))
       graft.rec.IvfIndex
-        .probe(s, dir, e.where(col("vec_id") < 10), IvfNProbe, topK = 3)
+        .probe(s, dir, defaultProbes(e), IvfNProbe, topK = 3)
         .orderBy(col("probe_id"), col("rank"))
     },
     ivfAnn.oracle
@@ -516,101 +543,56 @@ object Similarity {
   private val PqIters = 2
   private val PqShortlist = 80 // ADC candidates reranked exactly
 
-  /** Per-probe PQ partial-distance value, 6dp-parity form: the subspace
-    * distance is rounded to 6dp FIRST (q57's cross-engine rule), then
-    * squared and re-rounded — both engines square the identical 6dp
-    * double, so the partial is bit-identical before the ADC sum. */
-  private def pdist(p: Column, c: Column): Column =
-    round(pow(round(sqrt(aggregate(zip_with(p, c, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)), 6), 2), 6)
+  /** The default probe relation for the ANN catalog queries: the first
+    * ten vectors of the collection (what every recall oracle assumes).
+    * The PQ/IVF-PQ paths take the probe set as an ARGUMENT — any
+    * (vec_id, emb) relation works, exactly as [[graft.rec.IvfIndex]]
+    * and [[graft.rec.PqIndex]] are callable on any probe set. */
+  private def defaultProbes(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < 10)
+
+  /** Per-subspace codebooks, the encoded index, and the probe ADC
+    * tables: `(enc (neighbor_id, sub, code), ptab (probe_id, sub, code,
+    * pd))` — shared by the flat-PQ (q109) and IVF-PQ (q111) paths; the
+    * math lives in [[graft.rec.PqIndex]] (q114 serves the same from
+    * disk). */
+  private def pqEncode(e: DataFrame, probes: DataFrame): (DataFrame, DataFrame) = {
+    import graft.rec.PqIndex
+    val cbs = PqIndex.trainCodebooks(e, PqS, PqSub, PqK, PqIters)
+    (PqIndex.encode(e, cbs, PqSub), PqIndex.probeTables(probes, cbs, PqSub))
+  }
 
   /** Product-quantized ANN with asymmetric distance computation — the
     * FOURTH ANN path (vs brute q20, LSH q22, IVF q57/q83) and the one
     * that survives when even per-cell raw vectors don't fit: split the
-    * 64-dim embedding into 4×16-dim subspaces, train an 8-code Lloyd
-    * codebook per subspace (the SAME oracle-checked relational k-means
-    * as q57), and store each vector as 4 CODE BYTES — a 64× compression
-    * of the scan payload. A probe precomputes its 4×8 distance table
-    * (one tiny broadcast), and candidate distance is a table-lookup
-    * join + sum — the scan never touches raw vectors, which is the
-    * memory-bound regime PQ exists for (compose with q57's cells for
-    * IVF-PQ). Approximate distance = Σ over subspaces of the squared
-    * 6dp-rounded subspace distance (partials rounded before the sum —
-    * q100's order-independence rule). Deployment shape: the ADC scan
-    * SHORTLISTS the best 80 candidates per probe (4% of the fixture
-    * collection), then the shortlist — and only the shortlist — is
-    * reranked by exact distance against the raw vectors (raw ADC top-3
-    * measured recall 0.17; shortlist+rerank is how PQ is actually
-    * served, and lands at 0.90 — q110 measures it). */
-  /** Per-subspace codebooks, the encoded index, and the probe ADC
-    * tables: `(enc (neighbor_id, sub, code), ptab (probe_id, sub, code,
-    * pd))` — shared by the flat-PQ (q109) and IVF-PQ (q111) paths. */
-  private def pqEncode(e: DataFrame): (DataFrame, DataFrame) = {
-    import graft.rec.Clustering
-    val parts = (0 until PqS).map { sub =>
-      val sv = e.select(col("vec_id"),
-        slice(col("emb"), sub * PqSub + 1, PqSub).as("emb"))
-      (sub, sv, Clustering.lloydKMeans(sv, PqK, PqIters))
-    }
-    // encoded index: 4 code ids per vector — all the scan ever reads
-    val enc = parts.map { case (sub, sv, cb) =>
-      Clustering.assignCells(sv, cb, nprobe = 1)
-        .select(col("vec_id").as("neighbor_id"), lit(sub).as("sub"),
-          col("cid").as("code"))
-    }.reduce(_ unionAll _)
-    // probe-side ADC tables: (probe, subspace, code) -> partial dist
-    val ptab = parts.map { case (sub, sv, cb) =>
-      sv.where(col("vec_id") < 10)
-        .crossJoin(broadcast(cb))
-        .select(col("vec_id").as("probe_id"), lit(sub).as("sub"),
-          col("cid").as("code"), pdist(col("emb"), col("c")).as("pd"))
-    }.reduce(_ unionAll _)
-    (enc, ptab)
-  }
-
-  /** ADC shortlist: from (probe_id, neighbor_id, pd) partial-distance
-    * rows to the `limit` best candidates per probe. */
-  private def adcTop(scored: DataFrame, limit: Int): DataFrame = {
-    val wa = Window.partitionBy(col("probe_id"))
-      .orderBy(col("adist"), col("neighbor_id"))
-    scored.groupBy(col("probe_id"), col("neighbor_id"))
-      .agg(round(sum(col("pd")), 6).as("adist"))
-      .withColumn("srank", row_number().over(wa))
-      .where(col("srank") <= limit)
-      .select(col("probe_id"), col("neighbor_id"))
-  }
-
-  /** Exact rerank of a (probe_id, neighbor_id) shortlist — raw vectors
-    * are touched ONLY for these rows. */
-  private def exactRerankTop3(shortlist: DataFrame, e: DataFrame): DataFrame = {
-    val probes = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
-    val we = Window.partitionBy(col("probe_id"))
-      .orderBy(col("dist"), col("neighbor_id"))
-    shortlist
-      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
-        Seq("neighbor_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-      .withColumn("dist",
-        round(sqrt(aggregate(zip_with(col("pe"), col("ce"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6))
-      .withColumn("rank", row_number().over(we).cast("long"))
-      .where(col("rank") <= 3)
-      .select(col("probe_id"), col("neighbor_id"), col("rank"), col("dist"))
-      .orderBy(col("probe_id"), col("rank"))
-  }
-
+    * 64-dim embedding into [[PqS]]×[[PqSub]]-dim subspaces, train a
+    * [[PqK]]-code Lloyd codebook per subspace (the SAME oracle-checked
+    * relational k-means as q57), and store each vector as [[PqS]] CODE
+    * BYTES — a 64× compression of the scan payload. A probe precomputes
+    * its [[PqS]]×[[PqK]] distance table (one tiny broadcast), and
+    * candidate distance is a table-lookup join + sum — the scan never
+    * touches raw vectors, which is the memory-bound regime PQ exists
+    * for (compose with q57's cells for IVF-PQ). Approximate distance =
+    * Σ over subspaces of the squared 6dp-rounded subspace distance
+    * (partials rounded before the sum — q100's order-independence
+    * rule). Deployment shape: the ADC scan SHORTLISTS the best 80
+    * candidates per probe (4% of the fixture collection), then the
+    * shortlist — and only the shortlist — is reranked by exact distance
+    * against the raw vectors (raw ADC top-3 measured recall 0.17;
+    * shortlist+rerank is how PQ is actually served, and lands at 0.90 —
+    * q110 measures it). */
   val pqAnn = Q(
     "q109_pq_ann",
     (s, d) => {
       val e = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val (enc, ptab) = pqEncode(e)
-      val shortlist = adcTop(
+      val probes = defaultProbes(e)
+      val (enc, ptab) = pqEncode(e, probes)
+      val shortlist = graft.rec.PqIndex.adcTop(
         enc.join(broadcast(ptab), Seq("sub", "code"))
           .where(col("probe_id") =!= col("neighbor_id")),
         PqShortlist)
-      exactRerankTop3(shortlist, e)
+      graft.rec.PqIndex.rerankTop(shortlist, e, probes, topK = 3)
         .cache() // q110 reuses the ranked result
     },
     Some(s"""$pqCtes,
@@ -743,6 +725,33 @@ object Similarity {
               ON x.probe_id = p.probe_id AND x.neighbor_id = p.neighbor_id""")
   )
 
+  /** The persistent-PQ face of q109 (q83's build-once/probe-many idiom
+    * applied to the memory-bound regime): build the `codes` +
+    * `codebooks` parquet index once per dataset
+    * ([[graft.rec.PqIndex.build]] — the identical codebooks and ADC
+    * math as q109), then serve probes by ADC against the STORED codes —
+    * the scan reads 4 code ids per candidate from parquet, never a raw
+    * vector, and the exact rerank fetches raw vectors only for the
+    * shortlist. q109 times codebook training + encode + serve in one
+    * plan; this query pays build once (memoized per session × dataset)
+    * and makes the serve path's true cost visible. Results are
+    * identical — parquet round-trips doubles exactly — so it shares
+    * q109's oracle verbatim (PqIndexSpec asserts equality against the
+    * in-memory path row for row). */
+  val pqIndexProbe = Q(
+    "q114_pq_index_probe",
+    (s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val dir = indexDir(s, d, "pq")(
+        graft.rec.PqIndex.build(e, _, PqS, PqSub, PqK, PqIters))
+      graft.rec.PqIndex
+        .probe(s, dir, defaultProbes(e), e, PqS, PqSub, PqShortlist, topK = 3)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    pqAnn.oracle
+  )
+
   private val IvfPqShortlist = 40
 
   /** IVF-PQ — the two prunings COMPOSED, which is the production ANN
@@ -762,21 +771,22 @@ object Similarity {
       val e = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val ev = e.select(col("vec_id"), col("emb"))
+      val probes = defaultProbes(e)
       val cent = Clustering.lloydKMeans(ev, IvfK, IvfIters).cache()
       val cells = Clustering.assignCells(ev, cent, nprobe = 1)
         .select(col("vec_id").as("neighbor_id"), col("cid"))
       val probeCells = Clustering.assignCells(
-        ev.where(col("vec_id") < 10), cent, nprobe = IvfNProbe)
+        probes, cent, nprobe = IvfNProbe)
         .select(col("vec_id").as("probe_id"), col("cid"))
       val cand = cells.join(broadcast(probeCells), Seq("cid"))
         .where(col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"))
-      val (enc, ptab) = pqEncode(e)
-      val shortlist = adcTop(
+      val (enc, ptab) = pqEncode(e, probes)
+      val shortlist = graft.rec.PqIndex.adcTop(
         cand.join(enc, Seq("neighbor_id"))
           .join(broadcast(ptab), Seq("probe_id", "sub", "code")),
         IvfPqShortlist)
-      exactRerankTop3(shortlist, e)
+      graft.rec.PqIndex.rerankTop(shortlist, e, probes, topK = 3)
         .cache() // q112 reuses the ranked result
     },
     Some(s"""$ivfCtes,
@@ -879,5 +889,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn,
     lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup, pqAnn, pqRecall,
-    ivfPqAnn, ivfPqRecall)
+    ivfPqAnn, ivfPqRecall, pqIndexProbe)
 }

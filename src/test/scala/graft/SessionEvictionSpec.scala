@@ -15,9 +15,10 @@ class SessionEvictionSpec extends SparkSpec {
     // populate both session-keyed memos
     queries.TextOps.dedupComponents.run(spark, sfDir).count()
     queries.Similarity.ivfIndexProbe.run(spark, sfDir).count()
+    queries.Similarity.pqIndexProbe.run(spark, sfDir).count()
     assert(queries.TextOps.labelMemoEntries >= 1)
     val dirs = queries.Similarity.indexMemoDirs
-    assert(dirs.nonEmpty)
+    assert(dirs.size >= 2, "expected both the IVF and PQ index memos")
     dirs.foreach { d =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d)),
         s"index dir missing before eviction: $d")
