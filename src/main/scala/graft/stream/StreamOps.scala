@@ -64,20 +64,69 @@ object StreamOps {
 
   /** ST5: per-user mutable interest vector across micro-batches. Events
     * within a batch fold in (ts, itemId) order; one `UserInterest` row is
-    * emitted per touched user per batch. */
+    * emitted per touched user per batch.
+    *
+    * `idleTimeout` bounds state to O(active users), not O(users ever
+    * seen): a user with no events for the horizon is evicted, and a
+    * returning user re-initializes from the zero vector — the
+    * reference's own cold start, so the F9 recurrence simply restarts
+    * (`streaming_rec.py:83-91` initializes absent users the same way).
+    * Without a horizon (`None`) state grows with every user ever seen —
+    * fine for a bounded catalog replay, wrong for an unbounded ingest
+    * at 100× scale.
+    *
+    * The horizon is EVENT time (`EventTimeTimeout` + a 0-delay
+    * watermark on `ts`, read as epoch millis): a user is idle when the
+    * STREAM has moved `idleTimeout` past their last event. That is the
+    * deterministic semantics — a backfill replayed at 1000× speed
+    * evicts exactly the users the live run would have — and the only
+    * one the micro-batch engine can quiesce under:
+    * `ProcessingTimeTimeout` makes `shouldRunAnotherBatch` true
+    * unconditionally, so the engine busy-loops empty batches and
+    * `processAllAvailable` never returns (observed live: 145% CPU,
+    * 20 min, committed == available offsets). */
   def interestStream(enriched: Dataset[EnrichedEvent], dim: Int,
-                     lambda: Double = 0.05): Dataset[UserInterest] = {
+                     lambda: Double = 0.05,
+                     idleTimeout: Option[java.time.Duration] = None): Dataset[UserInterest] = {
     import enriched.sparkSession.implicits._
-    enriched
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val src = idleTimeout match {
+      case Some(_) =>
+        // the watermark needs a timestamp-typed column; the extra
+        // column is invisible to the EnrichedEvent encoder downstream
+        enriched.toDF()
+          .withColumn("eventTime", timestamp_millis(col("ts")))
+          .withWatermark("eventTime", "0 milliseconds")
+          .as[EnrichedEvent]
+      case None => enriched
+    }
+    src
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (uid: Int, rows: Iterator[EnrichedEvent], state: GroupState[(Array[Double], Long)]) =>
-          val (u0, n0) = state.getOption.getOrElse((Array.fill(dim)(0.0), 0L))
-          val batch = rows.toSeq.sortBy(e => (e.ts, e.itemId))
-          val u = batch.foldLeft(u0)((u, e) => blend(u, e.features, e.rating, lambda))
-          val n = n0 + batch.size
-          state.update((u, n))
-          Iterator.single(UserInterest(uid, u, n))
+          if (state.hasTimedOut) {
+            // idle horizon elapsed with no new events: drop the vector
+            state.remove()
+            Iterator.empty
+          } else {
+            val (u0, n0) = state.getOption.getOrElse((Array.fill(dim)(0.0), 0L))
+            val batch = rows.toSeq.sortBy(e => (e.ts, e.itemId))
+            val u = batch.foldLeft(u0)((u, e) => blend(u, e.features, e.rating, lambda))
+            val n = n0 + batch.size
+            state.update((u, n))
+            // re-arm on every touch: the timer only fires after a full
+            // horizon of event time with nothing from this user (late
+            // data can put max(ts)+horizon at or below the watermark —
+            // clamp above it, as setTimeoutTimestamp requires)
+            idleTimeout.foreach { d =>
+              state.setTimeoutTimestamp(math.max(
+                batch.map(_.ts).max + d.toMillis,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.single(UserInterest(uid, u, n))
+          }
       }
   }
 
@@ -85,14 +134,32 @@ object StreamOps {
     * `flatMapGroupsWithState`; requires the RocksDB state store provider):
     * same F9 fold, state in a typed `ValueState`. Kept alongside the
     * fMGWS version so both state APIs are exercised.
-    */
+    *
+    * `idleTimeout` is the event-time idle horizon, as on
+    * [[interestStream]]: [[InterestProcessor]] re-arms one event-time
+    * timer per user per batch and clears the state when the watermark
+    * passes it, so a returning user reads no state and re-initializes
+    * per F9 (see InterestProcessor's doc for why event-time, not a
+    * processing-time TTL). */
   def interestStreamTws(enriched: Dataset[EnrichedEvent], dim: Int,
-                        lambda: Double = 0.05): Dataset[UserInterest] = {
+                        lambda: Double = 0.05,
+                        idleTimeout: Option[java.time.Duration] = None): Dataset[UserInterest] = {
     import enriched.sparkSession.implicits._
-    enriched
+    val timeMode =
+      if (idleTimeout.isDefined) org.apache.spark.sql.streaming.TimeMode.EventTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    val src = idleTimeout match {
+      case Some(_) =>
+        enriched.toDF()
+          .withColumn("eventTime", timestamp_millis(col("ts")))
+          .withWatermark("eventTime", "0 milliseconds")
+          .as[EnrichedEvent]
+      case None => enriched
+    }
+    src
       .groupByKey(_.userId)
-      .transformWithState(new InterestProcessor(dim, lambda),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new InterestProcessor(dim, lambda, idleTimeout),
+        timeMode,
         OutputMode.Append())
   }
 
