@@ -706,6 +706,51 @@ object Recommender {
     userTopk.oracle
   )
 
+  /** Top-N serving + P@k/R@k from trained factor tables `(uf, vf)` —
+    * the serving/metric half of q106, shared with the ml-100k quality
+    * anchor (GdMfSpec runs it over all users of the fixture): rank
+    * every trained item per probe user by the 6dp-rounded factor dot
+    * product (item tiebreak — the q82/q100 cross-engine ranking idiom),
+    * drop the user's train items, score the top-k against the holdout,
+    * and average h/k and h/n_test over the probe users. `probeLimit`
+    * ≤ 0 means ALL trained users (the published-metric convention);
+    * positive bounds the probe set (q106 uses 50). Scale shape: the
+    * candidate score is probe users × item-factor table — the item side
+    * streams and the probe factors broadcast; ranking windows over
+    * bounded per-user groups; everything else is equi-joins. */
+  private[graft] def topNMetric(uf: DataFrame, vf: DataFrame,
+      train: DataFrame, test: DataFrame, k: Int,
+      probeLimit: Int): DataFrame = {
+    val allProbes = uf.select(col("user_id")).orderBy(col("user_id"))
+    val probe = if (probeLimit > 0) allProbes.limit(probeLimit) else allProbes
+    val pu = uf.join(broadcast(probe), Seq("user_id"))
+      .select(col("user_id"), col("val").as("uval"))
+    val dotScore = round(aggregate(
+      zip_with(col("uval"), col("vval"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x), 6)
+    val ranked = vf.select(col("item_id"), col("val").as("vval"))
+      .crossJoin(broadcast(pu))
+      .select(col("user_id"), col("item_id"), dotScore.as("score"))
+      .join(train.select(col("user_id"), col("item_id")),
+        Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("score").desc, col("item_id"))))
+      .where(col("rank") <= k)
+    val nt = test.groupBy(col("user_id")).agg(count(lit(1)).as("n_test"))
+      .join(broadcast(probe), Seq("user_id"))
+    val hits = ranked
+      .join(test.select(col("user_id"), col("item_id")),
+        Seq("user_id", "item_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("h"))
+    nt.join(hits, Seq("user_id"), "left")
+      .select(coalesce(col("h"), lit(0L)).as("h"), col("n_test"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("h") / k.toDouble), 6).as(s"p_at_$k"),
+        round(avg(col("h").cast("double") / col("n_test")), 6)
+          .as(s"r_at_$k"))
+  }
+
   /** The reference's HEADLINE top-N metric computed END-TO-END from
     * TRAINED factors (ref `src/csv/train_topn.py:112-145` reports
     * P@20/R@20 of the BPR-trained LightGCN): train q87's BPR factors on
@@ -723,39 +768,12 @@ object Recommender {
   val bprTopnMetric = Q(
     "q106_bpr_topn_metric",
     (s, d) => {
-      val k = 20
       val r = Ratings.view(s, d).cache()
       val test = r.where((col("user_id") + col("item_id")) % 4 === 0)
       val train = r.where((col("user_id") + col("item_id")) % 4 =!= 0)
       val (uf, vf) = graft.rec.GradientMF.bprTrainedFactors(
         train, GdRank, lr = 1.0, reg = GdReg, GdEpochs)
-      val probe = uf.select(col("user_id")).orderBy(col("user_id")).limit(50)
-      val pu = uf.join(broadcast(probe), Seq("user_id"))
-        .select(col("user_id"), col("val").as("uval"))
-      val dotScore = round(aggregate(
-        zip_with(col("uval"), col("vval"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x), 6)
-      val ranked = vf.select(col("item_id"), col("val").as("vval"))
-        .crossJoin(broadcast(pu))
-        .select(col("user_id"), col("item_id"), dotScore.as("score"))
-        .join(train.select(col("user_id"), col("item_id")),
-          Seq("user_id", "item_id"), "left_anti")
-        .withColumn("rank", row_number().over(Window
-          .partitionBy(col("user_id"))
-          .orderBy(col("score").desc, col("item_id"))))
-        .where(col("rank") <= k)
-      val nt = test.groupBy(col("user_id")).agg(count(lit(1)).as("n_test"))
-        .join(broadcast(probe), Seq("user_id"))
-      val hits = ranked
-        .join(test.select(col("user_id"), col("item_id")),
-          Seq("user_id", "item_id"))
-        .groupBy(col("user_id")).agg(count(lit(1)).as("h"))
-      nt.join(hits, Seq("user_id"), "left")
-        .select(coalesce(col("h"), lit(0L)).as("h"), col("n_test"))
-        .agg(count(lit(1)).as("n_users"),
-          round(avg(col("h") / k.toDouble), 6).as("p_at_20"),
-          round(avg(col("h").cast("double") / col("n_test")), 6)
-            .as("r_at_20"))
+      topNMetric(uf, vf, train, test, k = 20, probeLimit = 50)
     },
     Some {
       val e = GdEpochs

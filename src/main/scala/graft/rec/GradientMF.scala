@@ -186,6 +186,54 @@ object GradientMF {
                         reg: Double, epochs: Int): (DataFrame, DataFrame) =
     bprFit(ratings, rank, lr, reg, epochs, (_, _) => ())
 
+  /** ALL-positives BPR triples — the reference's actual training regime
+    * (`/root/reference/src/csv/train_topn.py:98-109` pairs every
+    * positive interaction with a sampled negative), where q82/q106's
+    * head-tail rule keeps one triple per user: every (user, item) with
+    * rating ≥ `posMin` is a positive, and its negative is a
+    * hash-DETERMINISTIC draw from the item catalog (U5's seeded-sampling
+    * idiom — the same triple set on every run and engine), anti-joined
+    * against the user's rated set so a draw the user has rated drops
+    * that triple (expected loss = interaction density, ~6% at the
+    * ml-100k shape — the surviving set is still ~all positives; the
+    * reference's sampler re-draws instead, a residual the top-N anchor
+    * spec documents). The item catalog is indexed by a single-partition
+    * window — the item dimension is the SMALL broadcast side throughout
+    * (q106's serving makes the same assumption); the catalog count rides
+    * a 1-row crossJoin (q06's stats idiom), never a driver collect. */
+  def bprAllPosTriples(ratings: DataFrame, posMin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = ratings.select(col("item_id")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("item_id"))).cast("long") - 1L)
+    val nItems = items.agg(count(lit(1)).as("n_items"))
+    ratings.where(col("rating") >= posMin)
+      .select(col("user_id"), col("item_id").as("pos_item"))
+      .crossJoin(broadcast(nItems))
+      .withColumn("idx", pmod(
+        h32(concat(lit("neg"), col("user_id").cast("string"), lit("_"),
+          col("pos_item").cast("string"))),
+        col("n_items")))
+      .join(broadcast(items), Seq("idx"))
+      .select(col("user_id"), col("pos_item"), col("item_id").as("neg_item"))
+      .join(ratings.select(col("user_id"), col("item_id").as("neg_item")),
+        Seq("user_id", "neg_item"), "left_anti")
+  }
+
+  /** [[bprTrainedFactors]] trained over [[bprAllPosTriples]] instead of
+    * the one-per-user head-tail rule, with Rendle's item-bias term —
+    * the configuration the top-N quality anchor runs at the ml-100k
+    * fixture shape (GdMfSpec): same epoch loop, gradients, hash init
+    * and checkpointing; what differs is the triple derivation and the
+    * bias coordinate. `posMin = 1.0` (every interaction is a positive)
+    * is the reference's own regime — `train_topn.py` trains on ALL
+    * train edges as implicit feedback, no rating threshold. */
+  def bprTrainedFactorsAllPos(ratings: DataFrame, rank: Int, lr: Double,
+                              reg: Double, epochs: Int,
+                              posMin: Double = 1.0): (DataFrame, DataFrame) =
+    bprFitTriples(bprAllPosTriples(ratings, posMin), rank, lr, reg, epochs,
+      (_, _) => (), itemBias = true)
+
   private def bprEpochLoss(k: Int, d: DataFrame): DataFrame =
     d.agg(
         round(avg(log(lit(1.0) + exp(-col("d")))), 6).as("bpr_loss"),
@@ -210,13 +258,53 @@ object GradientMF {
       .where(col("rn") === 1)
       .select(col("user_id"), col("item_id").as("neg_item"),
         col("rating").as("neg_r"))
-    val tr = pos.join(neg, Seq("user_id"))
-      .where(col("pos_r") > col("neg_r"))
-      .select(col("user_id"), col("pos_item"), col("neg_item"))
-      .cache()
+    bprFitTriples(
+      pos.join(neg, Seq("user_id"))
+        .where(col("pos_r") > col("neg_r"))
+        .select(col("user_id"), col("pos_item"), col("neg_item")),
+      rank, lr, reg, epochs, onEpoch)
+  }
 
-    def init(kind: String, ids: DataFrame, idCol: String): DataFrame =
-      ids.select(col(idCol), initVec(kind, col(idCol), rank).as("val"))
+  /** The BPR epoch loop over an explicit `(user_id, pos_item, neg_item)`
+    * triple relation — [[bprFit]] (head-tail triples, q87/q106) and
+    * [[bprTrainedFactorsAllPos]] (all-positives triples) share it; the
+    * gradient aggregation was already written for arbitrarily many
+    * triples per user (avg over the user's pairs keeps the update join
+    * 1:1 per id).
+    *
+    * `itemBias` appends Rendle's item-bias term as ONE MORE VECTOR
+    * COORDINATE (BPR-MF's standard bias: the user side of that
+    * coordinate is PINNED to 1.0 after every update, so the item side's
+    * coordinate is b_i and u·v expands to Σu_f·v_f + b_i): with
+    * per-item-averaged gradients and zero-mean random init, the pure
+    * factor coordinates carry no popularity signal at epoch 1 (each
+    * item's averaged user-vector contributions cancel in expectation) —
+    * the bias coordinate is where an item's positive-vs-negative
+    * imbalance accumulates from the first epoch, which is what makes
+    * the all-positives trainer learn an interaction-frequency ranking
+    * at all (measured: P@20 stuck at init level 0.016 for 16 epochs
+    * without it). Off (default) = exactly the q87/q106 oracle algebra. */
+  private def bprFitTriples(triples: DataFrame, rank: Int, lr: Double,
+      reg: Double, epochs: Int, onEpoch: (Int, DataFrame) => Unit,
+      itemBias: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val tr = triples.cache()
+    val width = if (itemBias) rank + 1 else rank
+
+    def init(kind: String, ids: DataFrame, idCol: String): DataFrame = {
+      val base = initVec(kind, col(idCol), rank)
+      val vec =
+        if (!itemBias) base
+        // user bias-slot carries the constant 1; item bias starts at 0
+        else if (kind == "u") concat(base, array(lit(1.0)))
+        else concat(base, array(lit(0.0)))
+      ids.select(col(idCol), vec.as("val"))
+    }
+
+    /** re-pin the user bias slot (updates move it; the model says 1). */
+    def pinUser(v: Column): Column =
+      if (!itemBias) v
+      else concat(slice(v, 1, rank), array(lit(1.0)))
 
     /** Per-pair score rows carrying all three factor vectors, so loss
       * and both gradients read one checkpointed relation. */
@@ -242,24 +330,24 @@ object GradientMF {
       val d = scores(u, v).checkpointLeaf
       onEpoch(k, d)
       val s = d.withColumn("comp", lit(1.0) / (lit(1.0) + exp(col("d"))))
-      // one (pos, neg) pair per user today, but aggregate symmetrically
-      // with gv so the update join stays 1:1 per user_id even if the
-      // pair derivation ever yields multiple pairs per user
+      // the head-tail derivation yields one (pos, neg) pair per user,
+      // all-positives yields many — aggregate symmetrically with gv so
+      // the update join stays 1:1 per user_id either way
       val gu = s
         .select(col("user_id"),
           zip_with(col("pval"), col("nval"),
             (p, n) => -col("comp") * (p - n)).as("g"))
         .groupBy(col("user_id"))
-        .agg(vecAgg(rank)(i => avg(col("g")(i))).as("grad"))
+        .agg(vecAgg(width)(i => avg(col("g")(i))).as("grad"))
       val gv = s.select(col("pos_item").as("item_id"),
           transform(col("uval"), x => -col("comp") * x).as("c"))
         .unionAll(s.select(col("neg_item").as("item_id"),
           transform(col("uval"), x => col("comp") * x).as("c")))
         .groupBy(col("item_id"))
-        .agg(vecAgg(rank)(i => avg(col("c")(i))).as("grad"))
+        .agg(vecAgg(width)(i => avg(col("c")(i))).as("grad"))
       u = u.join(gu, Seq("user_id"))
         .select(col("user_id"),
-          axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
+          pinUser(axpyUpdate(col("val"), col("grad"), lr, reg)).as("val"))
         .checkpointLeaf
       v = v.join(gv, Seq("item_id"))
         .select(col("item_id"),

@@ -99,6 +99,81 @@ class GdMfSpec extends SparkSpec {
       s"rmse=$rmse outside published-anchored band 0.9097±0.06")
   }
 
+  test("BPR top-N training lands in the published P@20/R@20 fold band at the ml-100k shape") {
+    // The LAST unanchored BASELINE.md rows: the reference's headline
+    // top-N quality, P@20 = 0.4133 / R@20 = 0.2921 on ml-100k
+    // (`doc/课程报告.md:929`) — which its own per-fold table
+    // (`/root/reference/src/csv/train_topn.py:210-214`) shows is the u1
+    // FOLD of five: P@20 spans 0.2595–0.4147 and R@20 0.2912–0.3544
+    // across folds (means 0.2847 / 0.3345). The honest anchor is that
+    // published spread, not the headline point.
+    //
+    // Machinery under test = q106's BPR trainer + serving + metric
+    // (GradientMF.bprFitTriples epoch loop, Recommender.topNMetric),
+    // configured the way the reference trains: ALL train interactions
+    // are positives (train_topn.py builds edges from every rating, no
+    // threshold), each paired with a hash-deterministic sampled
+    // negative (bprAllPosTriples), plus Rendle's item-bias coordinate
+    // (BPR-MF's standard bias; the reference's LightGCN carries
+    // popularity in its embedding norms instead). Fixture: ml-100k's
+    // SHAPE including its interaction skew — 943×1682, ~100k pairs,
+    // Zipf(1.15) items / Zipf(0.7) users (TopnFixture doc: under a
+    // uniform draw NO ranker beats ~0.013, so the published numbers
+    // would be unreachable by any model and the anchor meaningless).
+    //
+    // Residual vs the reference, stated like the LightGCN RMSE anchor:
+    // optimizer class and capacity (Adam mini-batch LightGCN dim-256
+    // ×3 layers vs full-batch GD rank-8 BPR-MF), negatives fixed per
+    // positive vs re-drawn per epoch, and the synthetic fixture's
+    // taste signal living in rating VALUES while relevance counts all
+    // held-out interactions — so the learnable ceiling here is the
+    // popularity structure (measured POP-oracle ceiling 0.329/0.353),
+    // which is also what dominates the reference's own folds.
+    // Measured, DETERMINISTIC per environment (seeded fixture/split,
+    // hash init and sampling; randomSplit's per-partition draws make
+    // the exact split a function of input partitioning, so the sbt
+    // test session reads P@20 0.3046 / R@20 0.3286 while the
+    // TopnSweep harness at local[32] reads 0.3099/0.3334 — both
+    // repeat bit-identically): inside the published fold band and
+    // within the ±0.06 idiom of the fold means; the init-factor
+    // control (epochs = 0) sits at 0.013, so the lift is the
+    // training.
+    val ratings = TopnFixture.ml100kShaped(spark, seed = 11L,
+      itemZipf = 1.15, userZipf = 0.7)
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    train.cache(); test.cache()
+
+    val (u0, v0) = GradientMF.bprTrainedFactorsAllPos(
+      train, rank = 8, lr = 1.0, reg = 0.02, epochs = 0)
+    val Seq((_, p0, _)) = graft.queries.Recommender
+      .topNMetric(u0, v0, train, test, k = 20, probeLimit = 0)
+      .as[(Long, Double, Double)].collect().toSeq
+
+    val (uf, vf) = GradientMF.bprTrainedFactorsAllPos(
+      train, rank = 8, lr = 1.0, reg = 0.02, epochs = 24)
+    val Seq((nUsers, p20, r20)) = graft.queries.Recommender
+      .topNMetric(uf, vf, train, test, k = 20, probeLimit = 0)
+      .as[(Long, Double, Double)].collect().toSeq
+
+    info(f"P@20 $p20%.4f R@20 $r20%.4f over $nUsers users " +
+      f"(init control $p0%.4f) vs published folds P 0.2595-0.4147 / " +
+      "R 0.2912-0.3544, headline u1 0.4133/0.2921")
+    assert(nUsers == 943L)
+    assert(p0 < 0.05, s"init control unexpectedly high: $p0")
+    assert(p20 > 10 * p0, s"training lift missing: $p20 vs init $p0")
+    // the reference's own per-fold spread (train_topn.py:210-214)
+    assert(p20 >= 0.2595 && p20 <= 0.4147,
+      s"p20=$p20 outside the published fold band 0.2595-0.4147")
+    assert(r20 >= 0.2912 && r20 <= 0.3544,
+      s"r20=$r20 outside the published fold band 0.2912-0.3544")
+    // fold-mean proximity at the ±0.06 half-width the ALS/LightGCN
+    // anchors use
+    assert(math.abs(p20 - 0.2847) < 0.06,
+      s"p20=$p20 not within 0.2847±0.06 (published fold mean)")
+    assert(math.abs(r20 - 0.3345) < 0.06,
+      s"r20=$r20 not within 0.3345±0.06 (published fold mean)")
+  }
+
   test("BPR training run equals a hand-rolled in-memory reference") {
     val rank = 3
     val lr = 0.5
