@@ -12,6 +12,9 @@ case class MediaItem(media_id: Long, kind: String, n_bytes: Long,
     width: Int, height: Int)
 case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
     pixels: Array[Float])
+/** Parsed RIFF/WAVE header fields (all from the byte payload). */
+case class WavMeta(audio_format: Int, channels: Int, sample_rate: Int,
+    bits_per_sample: Int, n_samples: Long, duration_ms: Long)
 
 /** Multimodal-column plumbing (brief requirement): image/audio/video
   * carried as opaque `binary` columns with typed metadata, processed by
@@ -90,6 +93,71 @@ object Multimodal {
       (quad(2) / math.max(quadN(2), 1L) / 255.0).toFloat,
       (quad(3) / math.max(quadN(3), 1L) / 255.0).toFloat,
       (w.toFloat / math.max(w, h)))
+  }
+
+  /** Minimal PCM RIFF/WAVE writer (canonical 44-byte header + `data`
+    * chunk): sample values are a deterministic per-`seed` LCG so the
+    * payload is a pure function of its parameters — used by q115 to
+    * synthesize real WAV payloads from hash-derived params, and by
+    * MultimodalSpec's fixtures. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+               nSamples: Int, seed: Long): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var s = seed
+    (0 until nSamples * channels).foreach { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      buf.putShort((s >>> 48).toShort)
+    }
+    buf.array()
+  }
+
+  /** RIFF/WAVE header parse from the raw byte payload — the audio
+    * analogue of the pixel-exact image decode: walks the chunk list
+    * (little-endian sizes, even-byte padding), reads the `fmt ` fields,
+    * and derives sample count and duration from the `data` chunk size.
+    * `None` for anything malformed (truncated, wrong magic, missing
+    * chunks) — corrupt payloads are data, not errors, in a 100 TB
+    * crawl. */
+  def wavMeta(payload: Array[Byte]): Option[WavMeta] = {
+    if (payload.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(at: Int): String =
+      new String(payload, at, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // fmt, ch, sr, align, bits
+    var dataSize = -1L
+    while (pos + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = tag(pos)
+      val size = buf.getInt(pos + 4).toLong & 0xffffffffL
+      if (id == "fmt " && size >= 16 && pos + 8 + 16 <= payload.length)
+        fmt = Some((buf.getShort(pos + 8) & 0xffff,
+          buf.getShort(pos + 10) & 0xffff,
+          buf.getInt(pos + 12),
+          buf.getShort(pos + 20) & 0xffff,
+          buf.getShort(pos + 22) & 0xffff))
+      else if (id == "data") dataSize = size
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    for ((audioFormat, ch, sr, align, bits) <- fmt
+         if dataSize >= 0 && align > 0 && sr > 0)
+      yield WavMeta(audioFormat, ch, sr, bits,
+        n_samples = dataSize / align,
+        duration_ms = dataSize * 1000L / (sr.toLong * align))
   }
 
   /** Codec dispatch: real `javax.imageio` decode for images (any format

@@ -70,6 +70,43 @@ class MultimodalSpec extends SparkSpec {
     assert(viaDecode.sameElements(Multimodal.stubPixels(junk)))
   }
 
+  test("wavMeta parses a real RIFF/WAVE payload, agreeing with the JDK reader") {
+    val bytes = Multimodal.wavBytes(sampleRate = 44100, channels = 2,
+      bitsPerSample = 16, nSamples = 441, seed = 7L)
+    val m = Multimodal.wavMeta(bytes).get
+    assert(m == WavMeta(audio_format = 1, channels = 2, sample_rate = 44100,
+      bits_per_sample = 16, n_samples = 441L, duration_ms = 10L))
+
+    // independent cross-check: the JDK's own javax.sound.sampled WAV
+    // reader must agree on every field it exposes
+    val jdk = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(jdk.getFormat.getSampleRate == 44100f)
+    assert(jdk.getFormat.getChannels == 2)
+    assert(jdk.getFormat.getSampleSizeInBits == 16)
+    assert(jdk.getFrameLength == 441)
+
+    // mono at a different rate: duration uses integer ms (flooring)
+    val mono = Multimodal.wavMeta(
+      Multimodal.wavBytes(8000, 1, 16, 12345, seed = 1L)).get
+    assert(mono.channels == 1 && mono.sample_rate == 8000)
+    assert(mono.n_samples == 12345L && mono.duration_ms == 1543L) // 1543.125
+  }
+
+  test("wavMeta rejects malformed payloads instead of failing the batch") {
+    assert(Multimodal.wavMeta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.wavMeta("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    val good = Multimodal.wavBytes(16000, 1, 16, 10, seed = 2L)
+    assert(Multimodal.wavMeta(good.take(20)).isEmpty) // truncated mid-header
+    // a data chunk but no fmt chunk is not a decodable WAV
+    val noFmt = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(12)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("data".getBytes("US-ASCII")).putInt(0).array()
+    assert(Multimodal.wavMeta(noFmt).isEmpty)
+  }
+
   test("resizeMeta preserves aspect ratio and never upscales") {
     val r = Multimodal.resizeMeta(Multimodal.mediaTable(spark, sfDir), 320, 240)
       .select($"width", $"height", $"out_w", $"out_h")
