@@ -23,12 +23,14 @@ case class WavMeta(audio_format: Int, channels: Int, sample_rate: Int,
   * The Spark-side machinery — schema, partitioning, batch shape, metadata
   * extraction, frame sampling — is implemented and tested. The codec step
   * is REAL for images (`javax.imageio`, JDK built-in: PNG/JPEG/GIF/BMP
-  * payloads decode to actual pixel features); audio/video payloads fall
-  * back to a deterministic STUB (this container has no media libraries) —
-  * swap [[Multimodal.stubPixels]] for an ffmpeg binding without touching
-  * any plumbing. Undecodable image bytes also fall back to the stub
-  * rather than failing the batch (corrupt payloads are data, not errors,
-  * in a 100 TB crawl).
+  * payloads decode to actual pixel features) and for audio METADATA
+  * ([[wavMeta]] parses RIFF/WAVE headers byte-for-byte — q115); audio
+  * sample data and video payloads fall back to a deterministic STUB
+  * (this container has no media libraries) — swap
+  * [[Multimodal.stubPixels]] for an ffmpeg binding without touching any
+  * plumbing. Undecodable image bytes also fall back to the stub rather
+  * than failing the batch (corrupt payloads are data, not errors, in a
+  * 100 TB crawl).
   *
   * Scale notes: payloads stay in executor memory only one partition-batch
   * at a time (`mapPartitions`, no collect); metadata-only queries never
