@@ -887,7 +887,36 @@ object Similarity {
               ON x.probe_id = p.probe_id AND x.neighbor_id = p.neighbor_id""")
   )
 
+  /** The persistent face of q111 — the FAISS IndexIVFPQ layout on disk
+    * ([[graft.rec.IvfPqIndex]]): the coarse cells are the parquet
+    * PARTITION COLUMN of the codes table, so "probe nprobe cells" is
+    * dynamic partition pruning (q83's I/O property), and the pruned
+    * files carry 4-byte PQ codes, not raw vectors (q114's payload
+    * property). Build — both quantizers + the partitioned encode — is
+    * paid once (memoized per session × dataset); the serve path reads
+    * nprobe/K of the files × codes per candidate, then the exact
+    * rerank fetches raw vectors only for the shortlist. Identical
+    * results to q111 (same quantizers, parquet round-trips doubles
+    * exactly), so it shares q111's oracle verbatim; IvfPqIndexSpec
+    * asserts the row-for-row equality AND the dynamicpruning
+    * PartitionFilter on the codes scan. */
+  val ivfPqIndexProbe = Q(
+    "q116_ivfpq_index_probe",
+    (s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val dir = indexDir(s, d, "ivfpq")(
+        graft.rec.IvfPqIndex.build(e, _, IvfK, IvfIters,
+          PqS, PqSub, PqK, PqIters))
+      graft.rec.IvfPqIndex
+        .probe(s, dir, defaultProbes(e), e, IvfNProbe,
+          PqS, PqSub, IvfPqShortlist, topK = 3)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    ivfPqAnn.oracle
+  )
+
   val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn,
     lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup, pqAnn, pqRecall,
-    ivfPqAnn, ivfPqRecall, pqIndexProbe)
+    ivfPqAnn, ivfPqRecall, pqIndexProbe, ivfPqIndexProbe)
 }
