@@ -37,6 +37,23 @@ object IvfIndex {
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Append NEW vectors to an existing index with the STORED quantizer
+    * kept FROZEN — the production maintenance regime for a corpus that
+    * grows daily: assignment is one broadcast-scored scan of the
+    * increment, the write appends files inside each cell's partition
+    * directory, and nothing already on disk is read or rewritten. The
+    * quantizer is retrained (a fresh [[build]]) only on distribution
+    * drift; until then every probe sees old and new vectors through the
+    * same cell geometry, so probe-after-append equals probing one index
+    * built from the union under that quantizer (IvfIndexSpec asserts
+    * exactly this). */
+  def append(spark: SparkSession, vectors: DataFrame, dir: String): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    Clustering.assignCells(vectors, cent, nprobe = 1)
+      .withColumn("cid", col("cid").cast("int"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/cells")
+  }
+
   /** Probe: assign each probe to its `nprobe` nearest cells, then join
     * the (broadcast) probe set against the partitioned cells table — the
     * partition-column equi-join is what triggers dynamic partition

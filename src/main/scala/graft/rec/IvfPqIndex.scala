@@ -62,6 +62,27 @@ object IvfPqIndex {
     cent.unpersist()
   }
 
+  /** Append NEW vectors with BOTH stored quantizers kept frozen
+    * ([[IvfIndex.append]]'s maintenance regime, applied to the composed
+    * index): the increment is cell-assigned with the stored coarse
+    * centroids, PQ-encoded with the stored codebooks, and appended
+    * inside the cell partition directories — no retraining, no rewrite
+    * of existing files. Probe-after-append equals probing one index
+    * built from the union under the same quantizers (IvfPqIndexSpec
+    * asserts it). */
+  def append(spark: SparkSession, vectors: DataFrame, dir: String,
+             s: Int = 4, subDim: Int = 16): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cbAll = spark.read.parquet(s"$dir/codebooks")
+    val cbs = (0 until s).map(sub =>
+      cbAll.where(col("sub") === sub).select(col("cid"), col("c")))
+    val cells = Clustering.assignCells(vectors, cent, nprobe = 1)
+      .select(col("vec_id").as("neighbor_id"), col("cid").cast("int").as("cid"))
+    PqIndex.encode(vectors, cbs, subDim)
+      .join(cells, Seq("neighbor_id"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
   /** Probe from disk: assign each probe to its `nprobe` nearest cells
     * (broadcast), join the partitioned codes table on the partition
     * column — dynamic partition pruning reads only the probed cells'

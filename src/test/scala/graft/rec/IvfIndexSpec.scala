@@ -45,6 +45,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("append under the frozen quantizer equals assigning the union in memory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    IvfIndex.build(vectors.where($"vec_id" % 2 === 0), dir, k = 8, iters = 2)
+    IvfIndex.append(spark, vectors.where($"vec_id" % 2 === 1), dir)
+
+    val probes = vectors.where($"vec_id" < 5)
+    val got = IvfIndex.probe(spark, dir, probes, nprobe = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    // reference: the STORED (half-trained, frozen) quantizer applied to
+    // ALL vectors in memory — append must be invisible to the probe
+    val cent = spark.read.parquet(s"$dir/centroids").cache()
+    val index = Clustering.assignCells(vectors, cent, nprobe = 1)
+    val pc = Clustering.assignCells(probes, cent, nprobe = 2)
+      .select($"vec_id".as("probe_id"), $"emb".as("pe"), $"cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
+    val expected = index.join(broadcast(pc), Seq("cid"))
+      .where($"probe_id" =!= $"vec_id")
+      .withColumn("score",
+        graft.expr.GraftFunctions.cosineSimilarity($"pe", $"emb"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"score", 6).as("score"))
+      .orderBy($"probe_id", $"rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("catalog q83 probes its persisted index through dynamic partition pruning") {
     // the catalog-path twin of the assertion below: the ORACLE row proves
     // q83's results; this proves the layout property on the exact plan the

@@ -62,6 +62,43 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(fromDisk.nonEmpty && fromDisk == inMemory)
   }
 
+  test("append under the frozen quantizers equals encoding the union in memory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    IvfPqIndex.build(vectors.where($"vec_id" % 2 === 0), dir, ivfK = 8,
+      ivfIters = 2, s = 4, subDim = 16, k = 8, iters = 2)
+    IvfPqIndex.append(spark, vectors.where($"vec_id" % 2 === 1), dir,
+      s = 4, subDim = 16)
+
+    val probes = vectors.where($"vec_id" < 5)
+    val got = IvfPqIndex.probe(spark, dir, probes, vectors, nprobe = 2,
+      s = 4, subDim = 16, shortlist = 40, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    // reference: BOTH stored (half-trained, frozen) quantizers applied
+    // to ALL vectors in memory — append must be invisible to the probe
+    val cent = spark.read.parquet(s"$dir/centroids").cache()
+    val cbAll = spark.read.parquet(s"$dir/codebooks").cache()
+    val cbs = (0 until 4).map(sub =>
+      cbAll.where($"sub" === sub).select($"cid", $"c"))
+    val cells = Clustering.assignCells(vectors, cent, nprobe = 1)
+      .select($"vec_id".as("neighbor_id"), $"cid")
+    val probeCells = Clustering.assignCells(probes, cent, nprobe = 2)
+      .select($"vec_id".as("probe_id"), $"cid")
+    val cand = cells.join(broadcast(probeCells), Seq("cid"))
+      .where($"probe_id" =!= $"neighbor_id")
+      .select($"probe_id", $"neighbor_id")
+    val enc = PqIndex.encode(vectors, cbs, subDim = 16)
+    val ptab = PqIndex.probeTables(probes, cbs, subDim = 16)
+    val sl = PqIndex.adcTop(
+      cand.join(enc, Seq("neighbor_id"))
+        .join(broadcast(ptab), Seq("probe_id", "sub", "code")),
+      limit = 40)
+    val expected = PqIndex.rerankTop(sl, vectors, probes, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("the codes scan is dynamically partition-pruned by the probe's cid set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString
     IvfPqIndex.build(vectors, dir, ivfK = 8, ivfIters = 2,
