@@ -1178,10 +1178,139 @@ object TextOps {
             FROM r WHERE rank <= 5 ORDER BY source, rank""")
   )
 
+  /** PII detection + redaction — the compliance stage every
+    * training-data pipeline runs before anything else sees the text.
+    * The synthetic corpus carries no PII, so the query SYNTHESIZES it
+    * deterministically on both engines (q74's benchmark idiom, q115's
+    * WAV-synth idiom): every 7th doc gains an email, every 11th a
+    * phone number, then the SAME regexes detect and redact them —
+    * the oracle checks the full synthesize→detect→redact round trip.
+    * Patterns are restricted to syntax Java regex and RE2 interpret
+    * identically (character classes + bounded repetition, greedy
+    * maximal munch — no backrefs, no lookaround). Redaction is one
+    * codegen'd `regexp_replace` per row (map-side, no shuffle); the
+    * only shuffle is the final doc_id sort, so at 100 TB this is a
+    * pure scan-transform — the shape a redaction pass must have. */
+  val piiRedact = Q(
+    "q117_pii_redact",
+    (s, d) => {
+      val email = "[a-z0-9]+@[a-z0-9.]+"
+      val phone = "555-[0-9]{4}"
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail"), (col("doc_id") % 5).cast("string"), lit(".com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("pt"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(pt, '$email', 0)"))
+            .cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(pt, '$phone', 0)"))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("pt"), lit(email),
+            lit("<EMAIL>")), lit(phone), lit("<PHONE>"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id, text
+              || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                   || CAST(doc_id AS VARCHAR) || '@mail'
+                   || CAST(doc_id % 5 AS VARCHAR) || '.com' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS pt
+            FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(pt, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(pt, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(regexp_replace(pt, '[a-z0-9]+@[a-z0-9.]+',
+                '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+            FROM p ORDER BY doc_id""")
+  )
+
+  /** Line-level boilerplate dedup (the CCNet / RefinedWeb idiom: a
+    * LINE repeated across many documents is boilerplate — headers,
+    * copyright footers, nav bars — and is dropped from every doc
+    * while unique lines stay). The fixture text has no newlines, so
+    * "lines" are non-overlapping 6-token segments plus one SYNTHESIZED
+    * per-source copyright footer (appearing in every doc of the
+    * source — exactly the cross-doc repetition the stage exists to
+    * remove); a line is boilerplate when it occurs in more than 5
+    * distinct docs. Output is per-doc kept/dropped counts plus the
+    * md5 of the reassembled text, so the oracle pins the whole
+    * segment→count→filter→reassemble chain including order.
+    *
+    * Scale shape: segmentation is a map-side explode; the frequency
+    * table groups by the 32-bit line hash (shuffles longs, never the
+    * line strings — q29's rule) and is map-combinable; the keep-join
+    * is an equi-join on that hash; reassembly is one per-doc sorted
+    * aggregation. The heavy boilerplate keys are exactly what AQE
+    * skew handling targets, and the threshold test needs only the
+    * (hash → n_docs) side, never the raw text, on the build side. */
+  val lineDedup = Q(
+    "q118_line_dedup",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val segs = t
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), floor(col("pos") / 6).cast("long").as("seg"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("line"))
+      val lines = segs.unionByName(
+        t.select(col("doc_id"), lit(-1L).as("seg"),
+          concat(lit("copyright "), col("source"),
+            lit(" all rights reserved")).as("line")))
+        .withColumn("lh", h32(col("line")))
+      val freq = lines.groupBy(col("lh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      lines.join(freq, Seq("lh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("nd") <= 5, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("nd") > 5, 1L).otherwise(0L)).as("n_dropped"),
+          md5(array_join(transform(filter(
+            array_sort(collect_list(struct(col("seg"), col("line"), col("nd")))),
+            x => x.getField("nd") <= 5), x => x.getField("line")), " "))
+            .as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+                string_split(text, ' ') AS toks FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS tok,
+                    generate_subscripts(toks, 1) AS pos FROM t),
+            w AS (SELECT doc_id, CAST((pos - 1) // 6 AS BIGINT) AS seg,
+                    tok, pos FROM u),
+            lines AS (SELECT doc_id, seg,
+                        string_agg(tok, ' ' ORDER BY pos) AS line
+                      FROM w GROUP BY 1, 2
+                      UNION ALL
+                      SELECT doc_id, CAST(-1 AS BIGINT),
+                        'copyright ' || source || ' all rights reserved'
+                      FROM t),
+            lh AS (SELECT doc_id, seg, line,
+                     ${OracleSql.h32("line")} AS lh FROM lines),
+            freq AS (SELECT lh, count(DISTINCT doc_id) AS nd
+                     FROM lh GROUP BY 1)
+            SELECT l.doc_id,
+              CAST(sum(CASE WHEN f.nd <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN f.nd > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              md5(string_agg(CASE WHEN f.nd <= 5 THEN l.line END, ' '
+                ORDER BY l.seg)) AS clean_md5
+            FROM lh l JOIN freq f USING (lh)
+            GROUP BY 1 ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
     cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters,
     cmsHeavyHitters, bloomDecontamination, bm25, docChunks,
-    sequencePacking, stratifiedSample, weightedSample)
+    sequencePacking, stratifiedSample, weightedSample, piiRedact,
+    lineDedup)
 }

@@ -144,6 +144,16 @@ class PlanSpec extends SparkSpec {
       s"q104's join lost the salt sub-key:\n$p")
   }
 
+  test("q117 PII redaction is a pure scan-transform — no join, no aggregation") {
+    // A redaction pass over 100 TB must stay embarrassingly parallel:
+    // synthesize + detect + redact are all row-local expressions, so the
+    // plan may contain no join and no aggregate — only the final
+    // presentation sort is allowed to exchange.
+    val p = plan("q117_pii_redact")
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"q117 stopped being a pure scan-transform:\n$p")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     // q17: orderBy+limit over orders; q32: the final cos-desc limit 50
     // after the pair aggregation — both must be a streaming top-k.
