@@ -1,0 +1,183 @@
+package graft.cypher
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Every Cypher string the reference issues runs VERBATIM against the
+  * engine (the S2/S3 migration story, executable): each test quotes the
+  * literal query from the reference source (file:line) and checks the
+  * result against the same relation computed directly on the ratings
+  * view — including Neo4j's actual semantics for the reference's latent
+  * traps (case-sensitive properties, untyped edge variables, MERGE
+  * whole-pattern matching).
+  */
+class CypherCompatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def ratings = graft.rec.Ratings.view(spark, sfDir).cache()
+
+  private def freshGraph = MovieGraph(spark, sfDir)
+
+  test("ratings-triple read (spark_als.py:146-149, distributed.py:152-155)") {
+    val got = freshGraph.read(
+      "MATCH (u:User)-[r:Rate]->(m:Movie) " +
+      "RETURN u.UserID AS user_id, m.MovieID AS movie_id, r.Rating AS rating")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = ratings.select($"user_id", $"item_id", $"rating")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("movie node scan (distributed.py:222)") {
+    val got = freshGraph.read("MATCH (m:Movie) RETURN m.MovieID AS movie_id")
+      .as[Long].collect().toSet
+    val want = ratings.select($"item_id").distinct().as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("SET + key-filtered read-back (streaming_rec.py:74,96,102-104)") {
+    val g = freshGraph
+    val anyUser = ratings.select($"user_id").orderBy($"user_id").as[Long].head()
+    val zeros = Seq.fill(18)("0.0").mkString(",")
+    // init: one property write to every User node (streaming_rec.py:74)
+    g.write(s"MATCH (u:User) SET u.Interest = '$zeros';")
+    // update one user's vector (streaming_rec.py:102-104)
+    val v = (1 to 18).map(i => (i / 10.0).toString).mkString(",")
+    g.write(s"MATCH (u:User{UserID:$anyUser}) SET u.Interest = '$v';")
+    // read it back (streaming_rec.py:96)
+    val got = g.read(s"MATCH (u:User{UserID:$anyUser}) " +
+      "RETURN u.UserID AS user_id, u.Interest AS interest")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((anyUser, v)))
+    // every OTHER user still has the init vector
+    val others = g.read(
+      "MATCH (u:User) RETURN u.UserID AS user_id, u.Interest AS interest")
+      .as[(Long, String)].collect()
+    assert(others.length > 1 &&
+      others.forall { case (u, i) => i == (if (u == anyUser) v else zeros) })
+  }
+
+  test("property names are case-sensitive: u.interest is null after SET " +
+      "u.Interest (streaming_rec.py:74 vs :229-231 — the reference's own " +
+      "latent bug, reproduced)") {
+    val g = freshGraph
+    g.write("MATCH (u:User) SET u.Interest = '0.0,0.0';")
+    val rows = g.read(
+      "MATCH (u:User) RETURN u.UserID AS user_id, u.interest AS interest")
+      .select($"interest").collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(0)))
+  }
+
+  test("cold-start popular movies: WITH + COUNT + WHERE + re-MATCH + AVG " +
+      "+ ORDER BY (cold_rec.py:58-62)") {
+    val m = 2
+    val got = freshGraph.read(
+      "MATCH (User)-[r:Rate]->(m:Movie) " +
+      s"WITH m, COUNT(r) AS cnt WHERE cnt > $m " +
+      "MATCH (User)-[r:Rate]->(m) " +
+      "RETURN m.MovieID AS movie_id, AVG(r.Rating) AS avg_rating " +
+      "ORDER BY avg_rating DESC")
+      .as[(Long, Double)].collect().toSeq
+    val want = ratings.groupBy($"item_id")
+      .agg(count(lit(1)).as("cnt"), avg($"rating").as("avg_rating"))
+      .where($"cnt" > m)
+      .select($"item_id", $"avg_rating")
+      .as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty &&
+      got.map(t => (t._1, math.rint(t._2 * 1e9))).toSet ==
+      want.map(t => (t._1, math.rint(t._2 * 1e9))).toSet)
+    // ORDER BY honored
+    assert(got.map(_._2) == got.map(_._2).sorted(Ordering[Double].reverse))
+  }
+
+  test("new movies: anonymous node + COUNT < k (cold_rec.py:71-75)") {
+    val k = 3
+    val got = freshGraph.read(
+      "MATCH (:User)-[r:Rate]->(m:Movie) " +
+      s"WITH m, COUNT(r) AS cnt WHERE cnt < $k " +
+      "RETURN m.MovieID AS movie_id")
+      .as[Long].collect().toSet
+    val want = ratings.groupBy($"item_id").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" < k).select($"item_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("watched movies via unlabeled variable + untyped edge " +
+      "(recommend.py:115-116, distributed.py:244-245): [Rate] is an edge " +
+      "VARIABLE matching every relationship type — Neo4j semantics, " +
+      "reproduced") {
+    val g = freshGraph
+    val u = ratings.select($"user_id").orderBy($"user_id").as[Long].head()
+    val rated = ratings.where($"user_id" === u)
+      .select($"item_id").as[Long].collect().toSet
+    val q = s"MATCH (User{UserID:$u})-[Rate]->(m:Movie) RETURN m.MovieID"
+    val before = g.read(q)
+    // unaliased RETURN keeps the connector's literal column name
+    assert(before.columns.toSeq == Seq("m.MovieID"))
+    assert(before.as[Long].collect().toSet == rated)
+    // after a Recommend edge exists, the untyped [Rate] VARIABLE matches
+    // it too — the trap the reference's bare-[Rate] queries walk into
+    g.write(
+      s"MATCH (u:User{UserID:$u}) WITH u " +
+      s"MATCH (m:Movie{MovieID:${rated.max}}) WITH u, m " +
+      "MERGE (u)-[:Recommend{Score:0.91}]->(m)")
+    assert(g.read(q).as[Long].collect().toSet == rated) // rated.max already rated — set unchanged
+  }
+
+  test("MERGE recommendation edges + typed read-back + whole-pattern " +
+      "match semantics (recommend.py:89-91, distributed.py:282-284)") {
+    val g = freshGraph
+    val u = ratings.select($"user_id").orderBy($"user_id").as[Long].head()
+    val ms = ratings.select($"item_id").distinct()
+      .orderBy($"item_id").as[Long].take(2)
+    g.write(
+      s"MATCH (u:User{UserID:$u}) WITH u " +
+      s"MATCH (m:Movie{MovieID:${ms(0)}}) WITH u, m " +
+      "MERGE (u)-[:Recommend{Score:0.75}]->(m)")
+    g.write(
+      s"MATCH (u:User{UserID:$u}) WITH u " +
+      s"MATCH (m:Movie{MovieID:${ms(1)}}) WITH u, m " +
+      "MERGE (u)-[:Recommend{Score:0.5}]->(m)")
+    // idempotent on the identical pattern
+    g.write(
+      s"MATCH (u:User{UserID:$u}) WITH u " +
+      s"MATCH (m:Movie{MovieID:${ms(1)}}) WITH u, m " +
+      "MERGE (u)-[:Recommend{Score:0.5}]->(m)")
+    val got = g.read(s"MATCH (u:User{UserID:$u})-[r:Recommend]->(m:Movie) " +
+      "RETURN m.MovieID AS movie_id, r.Score AS score")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((ms(0), 0.75), (ms(1), 0.5)))
+    // MERGE matches the WHOLE pattern: same endpoints + different Score
+    // creates a SECOND edge (why streaming_rec.py:119's commented DELETE
+    // exists)
+    g.write(
+      s"MATCH (u:User{UserID:$u}) WITH u " +
+      s"MATCH (m:Movie{MovieID:${ms(1)}}) WITH u, m " +
+      "MERGE (u)-[:Recommend{Score:0.99}]->(m)")
+    val twice = g.read(s"MATCH (u:User{UserID:$u})-[r:Recommend]->(m:Movie) " +
+      "RETURN m.MovieID AS movie_id, r.Score AS score")
+      .as[(Long, Double)].collect().toSet
+    assert(twice == Set((ms(0), 0.75), (ms(1), 0.5), (ms(1), 0.99)))
+  }
+
+  test("DELETE clears a user's Recommend edges and only theirs " +
+      "(streaming_rec.py:119)") {
+    val g = freshGraph
+    val us = ratings.select($"user_id").distinct()
+      .orderBy($"user_id").as[Long].take(2)
+    val m0 = ratings.select($"item_id").orderBy($"item_id").as[Long].head()
+    us.foreach { u =>
+      g.write(
+        s"MATCH (u:User{UserID:$u}) WITH u " +
+        s"MATCH (m:Movie{MovieID:$m0}) WITH u, m " +
+        "MERGE (u)-[:Recommend{Score:0.8}]->(m)")
+    }
+    g.write(s"MATCH (:User{UserID:${us(0)}})-[r:Recommend]->() DELETE r;")
+    val left = g.read("MATCH (u:User)-[r:Recommend]->(m:Movie) " +
+      "RETURN u.UserID AS user_id, m.MovieID AS movie_id")
+      .as[(Long, Long)].collect().toSet
+    assert(left == Set((us(1), m0)))
+  }
+}
