@@ -162,6 +162,32 @@ class CypherCompatSpec extends SparkSpec {
     assert(twice == Set((ms(0), 0.75), (ms(1), 0.5), (ms(1), 0.99)))
   }
 
+  test("movie-feature write→read round trip (train_topn.py:162-166 literal " +
+      "casing/spacing → streaming_rec.py:156-159), unwritten props null") {
+    val g = freshGraph
+    val ms = ratings.select($"item_id").distinct()
+      .orderBy($"item_id").as[Long].take(3)
+    ms.zipWithIndex.foreach { case (m, i) =>
+      val feature = Seq.fill(4)(s"0.$i").mkString(",")
+      // literal `Match …  SET m.Features='…';` — lowercase keyword, no
+      // spaces around `=`, exactly as train_topn.py emits it
+      g.write(s"Match (m:Movie{MovieID:$m}) SET m.Features='$feature';")
+    }
+    val got = g.read("MATCH (m:Movie) " +
+      "RETURN m.MovieID AS movie_id, m.Features AS features")
+      .as[(Long, Option[String])].collect().toMap
+    ms.zipWithIndex.foreach { case (m, i) =>
+      assert(got(m).contains(Seq.fill(4)(s"0.$i").mkString(",")))
+    }
+    assert(got.view.filterKeys(!ms.contains(_)).values.forall(_.isEmpty),
+      "movies never written must read a null Features")
+    // Genres were never loaded into this store: the get_movie_genres read
+    // (streaming_rec.py:140-143) runs and returns nulls
+    val genres = g.read("MATCH (m:Movie) " +
+      "RETURN m.MovieID AS movie_id, m.Genres AS genres")
+    assert(genres.select($"genres").collect().forall(_.isNullAt(0)))
+  }
+
   test("DELETE clears a user's Recommend edges and only theirs " +
       "(streaming_rec.py:119)") {
     val g = freshGraph
