@@ -63,6 +63,48 @@ object Clustering {
     }
   }
 
+  /** GROUPED nearest-centroid assignment: like [[assignCells]] (nprobe=1)
+    * but over a `(grp, vec_id, emb)` relation against `(grp, cid, c)`
+    * centroids — every group's argmin runs in the SAME plan, replacing a
+    * per-group loop of scans with one equi-join on grp + one partially
+    * aggregated groupBy. The per-group math is [[assignCells]]'s exactly
+    * (same distTo rounding, same cid tiebreak). */
+  def assignCellsGrouped(vectors: DataFrame,
+                         centroids: DataFrame): DataFrame =
+    vectors.join(broadcast(centroids), Seq("grp"))
+      .withColumn("dist", distTo(col("emb"), col("c")))
+      .groupBy(col("grp"), col("vec_id"))
+      .agg(first(col("emb")).as("emb"),
+           min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+      .select(col("grp"), col("vec_id"), col("emb"), col("cid"))
+
+  /** GROUPED [[lloydKMeans]]: one independent k-means PER GROUP, all
+    * trained in a single relational plan — the per-subspace PQ codebook
+    * build collapses from s sequential trainings (s× the scans, s× the
+    * driver roundtrips) to one. Per group the algebra is [[lloydKMeans]]
+    * verbatim: same lowest-`vec_id` init, same unrolled rounds, same
+    * 6dp-rounded argmin (which also absorbs the aggregation-order ulp
+    * differences a fused groupBy can introduce — the same tolerance the
+    * cross-engine oracle already relies on). Input `(grp, vec_id, emb)`;
+    * output `(grp, cid, c)`, cached like [[lloydKMeans]]'s rounds. */
+  def lloydKMeansGrouped(vectors: DataFrame, k: Int,
+                         iters: Int): DataFrame = {
+    val init = vectors.where(col("vec_id") < k)
+      .select(col("grp"), col("vec_id").as("cid"), col("emb").as("c"))
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      assignCellsGrouped(vectors, cent)
+        .select(col("grp"), col("cid"),
+          posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("grp"), col("cid"), col("pos"))
+        .agg(avg(col("v")).as("va"))
+        .groupBy(col("grp"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("va")))),
+          x => x.getField("va")).as("c"))
+        .cache()
+    }
+  }
+
   /** Lloyd's k-means as a pure relational plan: deterministic init (the K
     * lowest vec_ids), a fixed number of unrolled assign/update rounds, no
     * driver-side action anywhere. Returns (cid, c: array<double>).

@@ -40,21 +40,44 @@ object PqIndex {
     vectors.select(col("vec_id"),
       slice(col("emb"), sub * subDim + 1, subDim).as("emb"))
 
-  /** One Lloyd codebook per subspace — the SAME oracle-checked
-    * relational k-means as q57 — trained on the subspace slices. */
-  def trainCodebooks(vectors: DataFrame, s: Int, subDim: Int, k: Int,
-                     iters: Int): Seq[DataFrame] =
-    (0 until s).map(sub =>
-      Clustering.lloydKMeans(subVec(vectors, sub, subDim), k, iters))
+  /** ALL subspace slices in one pass — `(grp, vec_id, emb)` with grp =
+    * subspace id: one scan of the vectors produces every slice, so the
+    * grouped trainer/encoder replace s sequential scans with one. */
+  private def subVecsAll(vectors: DataFrame, s: Int,
+                         subDim: Int): DataFrame =
+    vectors.select(col("vec_id"), posexplode(
+      array((0 until s).map(sub =>
+        slice(col("emb"), sub * subDim + 1, subDim)): _*))
+      .as(Seq("grp", "emb")))
 
-  /** Encoded index: s code ids per vector — all the ADC scan reads. */
+  /** One Lloyd codebook per subspace — the SAME oracle-checked
+    * relational k-means as q57 — trained on the subspace slices, all s
+    * trainings fused into ONE grouped plan
+    * ([[Clustering.lloydKMeansGrouped]]): per subspace the algebra is
+    * identical to the sequential form; what changes is s× fewer scans
+    * and driver roundtrips per round. The grouped result is cached, so
+    * the returned per-subspace views are K-row filters over it. */
+  def trainCodebooks(vectors: DataFrame, s: Int, subDim: Int, k: Int,
+                     iters: Int): Seq[DataFrame] = {
+    val grouped =
+      Clustering.lloydKMeansGrouped(subVecsAll(vectors, s, subDim), k, iters)
+    (0 until s).map(sub =>
+      grouped.where(col("grp") === sub).select(col("cid"), col("c")))
+  }
+
+  /** Encoded index: s code ids per vector — all the ADC scan reads.
+    * One grouped assignment over every slice at once (one scan of the
+    * vectors), not s sequential assignment scans. */
   def encode(vectors: DataFrame, codebooks: Seq[DataFrame],
-             subDim: Int): DataFrame =
-    codebooks.zipWithIndex.map { case (cb, sub) =>
-      Clustering.assignCells(subVec(vectors, sub, subDim), cb, nprobe = 1)
-        .select(col("vec_id").as("neighbor_id"), lit(sub).as("sub"),
-          col("cid").as("code"))
+             subDim: Int): DataFrame = {
+    val cents = codebooks.zipWithIndex.map { case (cb, sub) =>
+      cb.select(lit(sub).as("grp"), col("cid"), col("c"))
     }.reduce(_ unionAll _)
+    Clustering.assignCellsGrouped(
+      subVecsAll(vectors, codebooks.size, subDim), cents)
+      .select(col("vec_id").as("neighbor_id"), col("grp").as("sub"),
+        col("cid").as("code"))
+  }
 
   /** Probe-side ADC tables: (probe_id, sub, code) → partial distance.
     * One tiny broadcast per query — s·k rows per probe. */
