@@ -916,7 +916,152 @@ object Similarity {
     ivfPqAnn.oracle
   )
 
+  /** SQ8 scalar-quantized ANN — the FIFTH ANN regime, between raw
+    * floats and PQ on the compression axis: each DIMENSION is quantized
+    * independently to a byte against the corpus's per-dimension
+    * [min, max] (code = floor((v-mn)/(mx-mn)·255 + 0.5) — floor(x+0.5)
+    * because both engines floor identically while round() ties differ),
+    * a 4× scan-payload compression at float32 corpora with near-exact
+    * recall (q120 measures it vs exact L2 — contrast PQ's raw-ADC 0.17
+    * at 64×: the two quantizers buy different points on the same
+    * curve). Serving is ASYMMETRIC like PQ's ADC: the probe stays raw,
+    * candidates are dequantized in-expression — one map-side zip_with
+    * fold per pair, no shuffle beyond the per-probe top-k window. The
+    * per-dimension stats are two exact aggregates (min/max — no
+    * summation, so bit-identical cross-engine), collected into one
+    * broadcast row; at 100 TB they fit on a sample like the PQ/IVF
+    * codebooks. */
+  val sq8Ann = Q(
+    "q119_sq8_ann",
+    (s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val stats = e
+        .select(posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .groupBy()
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+            x => x.getField("mn")).as("mna"),
+          transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+            x => x.getField("mx")).as("rxa"))
+        .select(col("mna"), zip_with(col("rxa"), col("mna"),
+          (a, b) => a - b).as("rng"))
+      // candidate side: quantize then dequantize in one expression chain
+      val coded = e.crossJoin(broadcast(stats))
+        .withColumn("codes", zip_with(
+          zip_with(col("emb"), col("mna"), (v, m) => v - m), col("rng"),
+          (dv, r) => when(r === 0.0, 0.0)
+            .otherwise(floor(dv / r * 255.0 + 0.5).cast("double"))))
+        .withColumn("dq", zip_with(
+          zip_with(col("codes"), col("rng"), (c, r) => c / 255.0 * r),
+          col("mna"), (x, m) => m + x))
+        .select(col("vec_id").as("neighbor_id"), col("dq"))
+      val probes = defaultProbes(e)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      coded.crossJoin(broadcast(probes))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("dist",
+          round(sqrt(aggregate(zip_with(col("pe"), col("dq"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"), col("dist"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+            ex AS (SELECT vec_id, unnest(emb) AS v,
+                     generate_subscripts(emb, 1) AS pos FROM e),
+            st AS (SELECT pos, min(v) AS mn, max(v) AS mx
+                   FROM ex GROUP BY 1),
+            dq AS (SELECT vec_id, pos,
+                     mn + (CASE WHEN mx = mn THEN 0.0
+                       ELSE floor((v - mn) / (mx - mn) * 255.0 + 0.5)
+                       END) / 255.0 * (mx - mn) AS dv
+                   FROM ex JOIN st USING (pos)),
+            d AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                    round(sqrt(sum((p.v - c.dv) * (p.v - c.dv))), 6) AS dist
+                  FROM ex p JOIN dq c ON p.pos = c.pos
+                    AND p.vec_id <> c.vec_id
+                  WHERE p.vec_id < 10
+                  GROUP BY 1, 2)
+            SELECT probe_id, neighbor_id, rank, dist FROM (
+              SELECT probe_id, neighbor_id, dist,
+                CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY dist, neighbor_id) AS BIGINT) AS rank
+              FROM d) t
+            WHERE rank <= 3 ORDER BY probe_id, rank""")
+  )
+
+  /** Recall@3 of the SQ8 path (q119) against the exact euclidean top-3
+    * — q110/q112's idiom, closing the compression-recall table: byte
+    * quantization at 4× compression vs PQ's 4 bits/dim at 64×. */
+  val sq8Recall = Q(
+    "q120_sq8_recall",
+    (s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      val exact = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+        .crossJoin(broadcast(probes))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("dist",
+          round(sqrt(aggregate(zip_with(col("pe"), col("ce"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"))
+      val found = sq8Ann.run(s, d)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(found, Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+             count(col("hit")).as("n_found"),
+             round(count(col("hit")).cast("double") / count(lit(1)), 6)
+               .as("recall"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+            ex AS (SELECT vec_id, unnest(emb) AS v,
+                     generate_subscripts(emb, 1) AS pos FROM e),
+            st AS (SELECT pos, min(v) AS mn, max(v) AS mx
+                   FROM ex GROUP BY 1),
+            dq AS (SELECT vec_id, pos,
+                     mn + (CASE WHEN mx = mn THEN 0.0
+                       ELSE floor((v - mn) / (mx - mn) * 255.0 + 0.5)
+                       END) / 255.0 * (mx - mn) AS dv
+                   FROM ex JOIN st USING (pos)),
+            d AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                    round(sqrt(sum((p.v - c.dv) * (p.v - c.dv))), 6) AS dist
+                  FROM ex p JOIN dq c ON p.pos = c.pos
+                    AND p.vec_id <> c.vec_id
+                  WHERE p.vec_id < 10
+                  GROUP BY 1, 2),
+            sq AS (SELECT probe_id, neighbor_id, 1 AS hit FROM (
+                     SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY dist, neighbor_id) AS rank
+                     FROM d) t WHERE rank <= 3),
+            exact AS (SELECT probe_id, neighbor_id FROM (
+              SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  round(list_distance(a.emb, b.emb), 6), b.vec_id) AS rank
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 10) t WHERE rank <= 3)
+            SELECT count(*) AS n_exact,
+                   count(s.hit) AS n_found,
+                   round(CAST(count(s.hit) AS DOUBLE) / count(*), 6) AS recall
+            FROM exact x LEFT JOIN sq s
+              ON x.probe_id = s.probe_id AND x.neighbor_id = s.neighbor_id""")
+  )
+
   val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn,
     lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup, pqAnn, pqRecall,
-    ivfPqAnn, ivfPqRecall, pqIndexProbe, ivfPqIndexProbe)
+    ivfPqAnn, ivfPqRecall, pqIndexProbe, ivfPqIndexProbe, sq8Ann, sq8Recall)
 }
