@@ -32,6 +32,33 @@ class ClusteringSpec extends SparkSpec {
     assert(cent.toSeq == again.toSeq)
   }
 
+  test("lloydKMeansGrouped equals per-group sequential lloydKMeans") {
+    // the PQ build fuses s per-subspace trainings into one grouped plan;
+    // per group the result must equal running lloydKMeans on that
+    // group's slice alone — same init, same rounds, same argmin
+    val grouped = (0 until 3).map(g =>
+        blobs.select(lit(g).as("grp"), $"vec_id",
+          transform($"emb", v => v + g * 100.0).as("emb")))
+      .reduce(_ unionAll _)
+    val got = Clustering.lloydKMeansGrouped(grouped, k = 2, iters = 3)
+      .orderBy($"grp", $"cid")
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    val want = (0 until 3).flatMap { g =>
+      Clustering.lloydKMeans(
+        blobs.select($"vec_id", transform($"emb", v => v + g * 100.0).as("emb")),
+        k = 2, iters = 3)
+        .orderBy($"cid").as[(Long, Seq[Double])].collect()
+        .map { case (cid, c) => (g, cid, c) }
+    }
+    // same groups/cids/assignments; centroid coords equal to within the
+    // aggregation-order ulp tolerance the 6dp distance rounding absorbs
+    assert(got.nonEmpty && got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(a.size == b.size &&
+        a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+    }
+  }
+
   test("each round reads the previous round's cached centroids (O(n·iters), not O(n·iters²))") {
     // iters=10: without per-round caching this plan re-executes round i-1
     // inside round i (quadratic re-scan); with it, the final round's plan
