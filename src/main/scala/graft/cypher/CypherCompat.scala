@@ -205,6 +205,22 @@ object CypherCompat {
   }
 }
 
+/** Execution env threaded through a query's clauses: bound rows
+  * (`v__key` columns for nodes, `v__*` for edge vars) + node/edge var
+  * bindings. */
+private final case class Env(
+    df: Option[DataFrame],
+    nodeVars: Map[String, String],        // var -> label
+    edgeVars: Map[String, Seq[String]]) { // var -> matched types
+
+  def join(frag: DataFrame, shared: Seq[String]): DataFrame = df match {
+    case None => frag
+    case Some(cur) =>
+      if (shared.isEmpty) cur.crossJoin(frag)
+      else cur.join(frag, shared)
+  }
+}
+
 /** The mutable graph store the Cypher surface executes against: one
   * DataFrame per node label (columns named by Cypher property, keyed by
   * `keyProp`) and one per relationship type (`__src`, `__dst` + property
@@ -230,21 +246,6 @@ final class CypherGraph(
     }
 
   // ---- execution state -------------------------------------------------
-
-  /** env: bound rows (`v__key` columns for nodes, `v__edge__*` for edge
-    * vars) + node/edge var bindings. */
-  private final case class Env(
-      df: Option[DataFrame],
-      nodeVars: Map[String, String],        // var -> label
-      edgeVars: Map[String, Seq[String]]) { // var -> matched types
-
-    def join(frag: DataFrame, shared: Seq[String]): DataFrame = df match {
-      case None => frag
-      case Some(cur) =>
-        if (shared.isEmpty) cur.crossJoin(frag)
-        else cur.join(frag, shared)
-    }
-  }
 
   private def keyCol(v: String) = s"${v}__key"
 
