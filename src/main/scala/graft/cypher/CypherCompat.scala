@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   *  - MATCH … WITH … MERGE relationship upserts with properties
   *    (`recommend.py:89-91`, `distributed.py:282-284`)
   *  - edge DELETE (`streaming_rec.py:119`)
+  *  - the report's console queries (`doc/课程报告.md:559-637`): path
+  *    binding `p=()-[Rate]->()` with LIMIT, whole-variable
+  *    `RETURN u, r, m` (rendered as the connector flattens graph
+  *    objects — one `v.Prop` column per property), non-key property
+  *    filters `{Title:'…'}`, and global `COUNT(v)` / `AVG(r.Rating)`
   *
   * Neo4j semantics are preserved, including the reference's own latent
   * traps: a variable in label position (`(User)`) is a VARIABLE, not a
@@ -53,7 +58,8 @@ object CypherCompat {
   private[cypher] final case class EdgePat(
       v: Option[String], tpe: Option[String], props: Map[String, Any])
   private[cypher] final case class Pattern(
-      src: NodePat, edge: Option[EdgePat], dst: Option[NodePat])
+      src: NodePat, edge: Option[EdgePat], dst: Option[NodePat],
+      pathVar: Option[String] = None)
 
   private[cypher] sealed trait Item { def alias: String }
   /** `v.Prop [AS alias]` — alias defaults to the literal text, which is
@@ -79,7 +85,8 @@ object CypherCompat {
   private[cypher] final case class WithC(
       items: Seq[Item], where: Option[(String, String, Double)]) extends Clause
   private[cypher] final case class ReturnC(
-      items: Seq[Item], orderBy: Option[(String, Boolean)]) extends Clause
+      items: Seq[Item], orderBy: Option[(String, Boolean)],
+      limit: Option[Int] = None) extends Clause
   private[cypher] final case class SetC(
       v: String, prop: String, value: Any) extends Clause
   private[cypher] final case class MergeC(
@@ -125,10 +132,17 @@ object CypherCompat {
   }
 
   private def parsePattern(s: String): Pattern = {
+    // optional path binding: `p=(…)-[…]->(…)` (doc/课程报告.md:559)
+    val bound = s"^($ident)\\s*=\\s*(.*)$$".r
+    val (pathVar, body) = s.trim match {
+      case bound(p, rest) => (Some(p), rest.trim)
+      case other          => (None, other)
+    }
     val hop = "^(\\([^)]*\\))\\s*-\\s*(\\[[^\\]]*\\])\\s*->\\s*(\\([^)]*\\))$".r
-    s.trim match {
-      case hop(a, e, b) => Pattern(parseNode(a), Some(parseEdge(e)), Some(parseNode(b)))
-      case node => Pattern(parseNode(node), None, None)
+    body match {
+      case hop(a, e, b) =>
+        Pattern(parseNode(a), Some(parseEdge(e)), Some(parseNode(b)), pathVar)
+      case node => Pattern(parseNode(node), None, None, pathVar)
     }
   }
 
@@ -152,7 +166,7 @@ object CypherCompat {
     * for this grammar. */
   private[cypher] def parse(query: String): Seq[Clause] = {
     val q = query.trim.stripSuffix(";").replaceAll("\\s+", " ")
-    val kw = "(?i)\\b(MATCH|WITH|WHERE|RETURN|SET|MERGE|DELETE|ORDER BY)\\b".r
+    val kw = "(?i)\\b(MATCH|WITH|WHERE|RETURN|SET|MERGE|DELETE|ORDER BY|LIMIT)\\b".r
     val ms = kw.findAllMatchIn(q).toSeq
     val parts = ms.zipWithIndex.map { case (m, i) =>
       val end = if (i + 1 < ms.size) ms(i + 1).start else q.length
@@ -180,11 +194,17 @@ object CypherCompat {
         body match {
           case ob(a, dir) =>
             out(out.size - 1) = out.last match {
-              case ReturnC(items, None) =>
-                ReturnC(items, Some((a, dir != null && dir.equalsIgnoreCase("DESC"))))
+              case ReturnC(items, None, lim) =>
+                ReturnC(items,
+                  Some((a, dir != null && dir.equalsIgnoreCase("DESC"))), lim)
               case other => sys.error(s"ORDER BY after unsupported clause: $other")
             }
           case other => sys.error(s"unsupported ORDER BY: $other")
+        }
+      case ("LIMIT", body) =>
+        out(out.size - 1) = out.last match {
+          case ReturnC(items, ob, None) => ReturnC(items, ob, Some(body.trim.toInt))
+          case other => sys.error(s"LIMIT after unsupported clause: $other")
         }
       case ("SET", body) =>
         val re = s"^($ident)\\.($ident)\\s*=\\s*('[^']*'|[-0-9.eE]+)$$".r
@@ -211,7 +231,8 @@ object CypherCompat {
 private final case class Env(
     df: Option[DataFrame],
     nodeVars: Map[String, String],        // var -> label
-    edgeVars: Map[String, Seq[String]]) { // var -> matched types
+    edgeVars: Map[String, Seq[String]],   // var -> matched types
+    pathVars: Map[String, String] = Map.empty) { // path var -> its edge var
 
   def join(frag: DataFrame, shared: Seq[String]): DataFrame = df match {
     case None => frag
@@ -270,7 +291,7 @@ final class CypherGraph(
     }
 
   private def matchFrag(env: Env, pat: Pattern): Env = pat match {
-    case Pattern(n, None, None) =>
+    case Pattern(n, None, None, _) =>
       val label = resolve(n, None).getOrElse(
         sys.error(s"cannot resolve label for $n"))
       val v = n.v.getOrElse(sys.error(s"unbound single-node match: $n"))
@@ -280,7 +301,13 @@ final class CypherGraph(
       Env(Some(env.join(frag, shared)),
         env.nodeVars + (v -> label), env.edgeVars)
 
-    case Pattern(sn, Some(e), Some(dn)) =>
+    case Pattern(sn, Some(e0), Some(dn), _) =>
+      // a path binding needs the edge columns: give a var-less edge the
+      // path's name (a named edge keeps its own; the path aliases it)
+      val e = pat.pathVar match {
+        case Some(p) if e0.v.isEmpty => e0.copy(v = Some(p))
+        case _ => e0
+      }
       // candidate types: the explicit one, or (untyped edge VARIABLE —
       // Neo4j semantics) every type whose endpoints are consistent
       val types = e.tpe.map(Seq(_)).getOrElse {
@@ -331,7 +358,8 @@ final class CypherGraph(
                    dv.flatMap(v => types.headOption.map(t => v -> edges(t)._2)))
         .flatten.toMap
       Env(Some(env.join(frag, shared)), env.nodeVars ++ nv,
-        env.edgeVars ++ e.v.map(_ -> types).toMap)
+        env.edgeVars ++ e.v.map(_ -> types).toMap,
+        env.pathVars ++ pat.pathVar.map(p => p -> e.v.get).toMap)
 
     case other => sys.error(s"unsupported pattern: $other")
   }
@@ -362,23 +390,53 @@ final class CypherGraph(
 
   /** Evaluate WITH/RETURN items (with implicit Cypher grouping when any
     * aggregate appears) and project to the item aliases + retained
-    * binding keys. */
-  private def project(env: Env, items: Seq[Item]): Env = {
+    * binding keys. In `terminal` (RETURN) position a bare variable
+    * renders the way the Neo4j connector flattens graph objects: a node
+    * as one `v.Prop` column per property of its label (key first), an
+    * edge as `v.type` + its properties, a path as `v.src` / `v.type` /
+    * `v.dst` + the edge's properties. */
+  private def project(env: Env, items: Seq[Item],
+                      terminal: Boolean = false): Env = {
     var df = env.df.getOrElse(sys.error("projection with no MATCH"))
     val aggs = items.collect { case a: AggItem => a }
     val plain = items.filterNot(_.isInstanceOf[AggItem])
 
-    def itemCol(it: Item): Column = it match {
+    /** a bare edge var's rendered columns: type + its property cols. */
+    def edgeCols(as: String, v: String): Seq[(String, Column)] =
+      (s"$as.type" -> col(s"${v}__type")) +:
+        df.columns.toSeq
+          .filter(c => c.startsWith(s"${v}__") &&
+            !Set(s"${v}__type", s"${v}__src", s"${v}__dst").contains(c))
+          .map(c => s"$as.${c.stripPrefix(s"${v}__")}" -> col(c))
+
+    def expand(it: Item): Seq[(String, Column)] = it match {
       case PropItem(v, p, _) =>
-        val (d2, c) = propCol(env, df, v, p); df = d2; c
-      case VarItem(v) => col(keyCol(v))
+        val (d2, c) = propCol(env, df, v, p); df = d2
+        Seq(it.alias -> c)
+      case VarItem(v) if !terminal => Seq(it.alias -> col(keyCol(v)))
+      case VarItem(v) if env.nodeVars.contains(v) =>
+        val label = env.nodeVars(v)
+        val (key, ndf) = nodes(label)
+        (s"$v.$key" -> col(keyCol(v))) +:
+          ndf.columns.toSeq.filterNot(_ == key).map { p =>
+            val (d2, c) = propCol(env, df, v, p); df = d2
+            s"$v.$p" -> c
+          }
+      case VarItem(v) if env.pathVars.contains(v) =>
+        val ev = env.pathVars(v)
+        Seq(s"$v.src" -> col(s"${ev}__src"),
+            s"$v.dst" -> col(s"${ev}__dst")) ++ edgeCols(v, ev)
+      case VarItem(v) if env.edgeVars.contains(v) => edgeCols(v, v)
+      case VarItem(v) => sys.error(s"unbound variable: $v")
       case a: AggItem => sys.error(s"aggregate in plain position: $a")
     }
-    val plainCols = plain.map(it => (it, itemCol(it)))
+    val plainCols = plain.flatMap(it => expand(it).map { case (a, c) =>
+      (it, a, c)
+    })
 
     val out =
       if (aggs.isEmpty)
-        df.select(plainCols.map { case (it, c) => c.as(it.alias) }: _*)
+        df.select(plainCols.map { case (_, a, c) => c.as(a) }: _*)
       else {
         val aggCols = aggs.map { a =>
           val base = a.prop match {
@@ -398,13 +456,15 @@ final class CypherGraph(
           }).as(a.alias)
         }
         if (plainCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-        else df.groupBy(plainCols.map { case (it, c) => c.as(it.alias) }: _*)
+        else df.groupBy(plainCols.map { case (_, a, c) => c.as(a) }: _*)
           .agg(aggCols.head, aggCols.tail: _*)
       }
     // bindings that survive: node vars carried as bare items; their key
     // column keeps its env name so later MATCHes re-join on it
     val kept = plain.collect { case VarItem(v) => v }.toSet
-    val renamed = kept.foldLeft(out)((d, v) => d.withColumnRenamed(v, keyCol(v)))
+    val renamed =
+      if (terminal) out
+      else kept.foldLeft(out)((d, v) => d.withColumnRenamed(v, keyCol(v)))
     Env(Some(renamed), env.nodeVars.view.filterKeys(kept).toMap, Map.empty)
   }
 
@@ -429,11 +489,12 @@ final class CypherGraph(
           }
           env = env.copy(df = env.df.map(_.where(c)))
         }
-      case ReturnC(items, orderBy) =>
-        val projected = project(env, items).df.get
-        result = Some(orderBy.foldLeft(projected) { case (d, (a, desc)) =>
+      case ReturnC(items, orderBy, limit) =>
+        val projected = project(env, items, terminal = true).df.get
+        val ordered = orderBy.foldLeft(projected) { case (d, (a, desc)) =>
           d.orderBy(if (desc) col(a).desc else col(a).asc)
-        })
+        }
+        result = Some(limit.foldLeft(ordered)((d, n) => d.limit(n)))
       case other => sys.error(s"write clause in read(): $other")
     }
     result.getOrElse(sys.error("query has no RETURN"))
@@ -510,7 +571,13 @@ object MovieGraph {
     val r = graft.rec.Ratings.view(spark, sfDir)
       .select(col("user_id"), col("item_id"), col("rating")).cache()
     val users = r.select(col("user_id").as("UserID")).distinct()
+    // Title from the part dimension — the fixture's movie title
+    // (FIXTURES.md item ≙ part), so title-filtered Cypher
+    // (doc/课程报告.md:591) matches real rows
     val movies = r.select(col("item_id").as("MovieID")).distinct()
+      .join(graft.Tables.part(spark, sfDir)
+        .select(col("p_partkey").as("MovieID"), col("p_name").as("Title")),
+        Seq("MovieID"), "left")
     val rate = r.select(col("user_id").as("__src"),
       col("item_id").as("__dst"), col("rating").as("Rating"))
     new CypherGraph(spark,

@@ -188,6 +188,76 @@ class CypherCompatSpec extends SparkSpec {
     assert(genres.select($"genres").collect().forall(_.isNullAt(0)))
   }
 
+  test("report console queries: path binding + LIMIT (doc/课程报告.md:559)") {
+    val g = freshGraph
+    val n = ratings.count()
+    val df = g.read("MATCH p=()-[Rate]->() RETURN p LIMIT 300;")
+    assert(df.columns.toSeq == Seq("p.src", "p.dst", "p.type", "p.Rating"))
+    val rows = df.as[(Long, Long, String, Double)].collect()
+    assert(rows.length == math.min(300L, n).toInt)
+    val all = ratings.select($"user_id", $"item_id", $"rating")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows.forall { case (s2, d2, t, r) =>
+      t == "Rate" && all.contains((s2, d2, r))
+    })
+  }
+
+  test("report console queries: whole-variable RETURN u, r, m renders " +
+      "node/edge properties (doc/课程报告.md:567,575,583)") {
+    val g = freshGraph
+    val u = ratings.select($"user_id").orderBy($"user_id").as[Long].head()
+    val df = g.read(
+      s"MATCH (u:User{UserID:$u})-[r:Rate]->(m:Movie) RETURN u, r, m;")
+    assert(df.columns.toSeq ==
+      Seq("u.UserID", "r.type", "r.Rating", "m.MovieID", "m.Title"))
+    val got = df.select($"`u.UserID`", $"`m.MovieID`", $"`r.Rating`")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = ratings.where($"user_id" === u)
+      .select($"user_id", $"item_id", $"rating")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // single-node form with lowercase `return` (doc/课程报告.md:583)
+    val m0 = ratings.select($"item_id").orderBy($"item_id").as[Long].head()
+    val mdf = g.read(s"MATCH (m:Movie{MovieID:$m0}) return m;")
+    assert(mdf.columns.toSeq == Seq("m.MovieID", "m.Title"))
+    assert(mdf.select($"`m.MovieID`").as[Long].collect().toSeq == Seq(m0))
+    assert(!mdf.select($"`m.Title`").collect()(0).isNullAt(0))
+  }
+
+  test("report console queries: title-filtered rating lookup " +
+      "(doc/课程报告.md:591)") {
+    val g = freshGraph
+    val (u, m0, rating) = ratings
+      .select($"user_id", $"item_id", $"rating")
+      .orderBy($"user_id", $"item_id")
+      .as[(Long, Long, Double)].head()
+    val title = graft.Tables.part(spark, sfDir)
+      .where($"p_partkey" === m0).select($"p_name").as[String].head()
+    val df = g.read(s"MATCH (:User{UserID:$u})-[r:Rate]->" +
+      s"(:Movie{Title:'$title'}) RETURN r;")
+    assert(df.columns.toSeq == Seq("r.type", "r.Rating"))
+    assert(df.as[(String, Double)].collect().toSeq == Seq(("Rate", rating)))
+  }
+
+  test("report console queries: dataset statistics COUNT/AVG " +
+      "(doc/课程报告.md:604-637)") {
+    val g = freshGraph
+    val nu = g.read("MATCH (u:User) RETURN COUNT(u);")
+    assert(nu.columns.toSeq == Seq("COUNT(u)"))
+    assert(nu.first().getLong(0) ==
+      ratings.select($"user_id").distinct().count())
+    val nm = g.read("MATCH (m:Movie) RETURN COUNT(m);")
+    assert(nm.first().getLong(0) ==
+      ratings.select($"item_id").distinct().count())
+    val nr = g.read("MATCH (User)-[r:Rate]->(Movie) RETURN COUNT(r);")
+    assert(nr.columns.toSeq == Seq("COUNT(r)"))
+    assert(nr.first().getLong(0) == ratings.count())
+    val av = g.read("MATCH (User)-[r:Rate]->(Movie) RETURN AVG(r.Rating);")
+    assert(av.columns.toSeq == Seq("AVG(r.Rating)"))
+    val want = ratings.agg(avg($"rating")).first().getDouble(0)
+    assert(math.abs(av.first().getDouble(0) - want) < 1e-9)
+  }
+
   test("DELETE clears a user's Recommend edges and only theirs " +
       "(streaming_rec.py:119)") {
     val g = freshGraph
