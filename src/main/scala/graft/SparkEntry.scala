@@ -19,7 +19,8 @@ object SparkEntry {
     _root_.graft.queries.MultimodalQueries.all ++
     _root_.graft.queries.Analytics.all ++
     _root_.graft.queries.TpchShapes.all ++
-    _root_.graft.queries.Demographics.all
+    _root_.graft.queries.Demographics.all ++
+    _root_.graft.queries.CypherQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Cold-start popularity (SURVEY §7.2 slice 0): scan→agg→having→sort→limit.
