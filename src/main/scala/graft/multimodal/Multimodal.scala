@@ -15,6 +15,9 @@ case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
 /** Parsed RIFF/WAVE header fields (all from the byte payload). */
 case class WavMeta(audio_format: Int, channels: Int, sample_rate: Int,
     bits_per_sample: Int, n_samples: Long, duration_ms: Long)
+/** Parsed ISO-BMFF (MP4) box fields (all from the byte payload). */
+case class Mp4Meta(brand: String, timescale: Int, duration_ms: Long,
+    track_id: Int, width: Int, height: Int, n_frames: Long)
 
 /** Multimodal-column plumbing (brief requirement): image/audio/video
   * carried as opaque `binary` columns with typed metadata, processed by
@@ -23,9 +26,10 @@ case class WavMeta(audio_format: Int, channels: Int, sample_rate: Int,
   * The Spark-side machinery — schema, partitioning, batch shape, metadata
   * extraction, frame sampling — is implemented and tested. The codec step
   * is REAL for images (`javax.imageio`, JDK built-in: PNG/JPEG/GIF/BMP
-  * payloads decode to actual pixel features) and for audio METADATA
-  * ([[wavMeta]] parses RIFF/WAVE headers byte-for-byte — q115); audio
-  * sample data and video payloads fall back to a deterministic STUB
+  * payloads decode to actual pixel features), for audio METADATA
+  * ([[wavMeta]] parses RIFF/WAVE headers byte-for-byte — q115), and for
+  * video METADATA ([[mp4Meta]] walks ISO-BMFF boxes byte-for-byte —
+  * q123); audio/video SAMPLE data falls back to a deterministic STUB
   * (this container has no media libraries) — swap
   * [[Multimodal.stubPixels]] for an ffmpeg binding without touching any
   * plumbing. Undecodable image bytes also fall back to the stub rather
@@ -160,6 +164,109 @@ object Multimodal {
       yield WavMeta(audioFormat, ch, sr, bits,
         n_samples = dataSize / align,
         duration_ms = dataSize * 1000L / (sr.toLong * align))
+  }
+
+  /** Minimal ISO-BMFF (MP4) writer: `ftyp` + `mdat` (LCG fake sample
+    * bytes) + `moov{ mvhd, trak{ tkhd, mdia{ mdhd, hdlr, minf{ stbl{
+    * stts }}}}}` — the canonical video-file skeleton, all version-0
+    * full boxes, big-endian sizes per the spec (the mirror image of
+    * [[wavBytes]]'s little-endian RIFF). The payload is a pure function
+    * of its parameters — used by q123 to synthesize real MP4 payloads
+    * from hash-derived params, and by MultimodalSpec's fixtures.
+    * `durationTicks` is in `timescale` units (mvhd and mdhd share the
+    * timescale here); `width`/`height` land in tkhd as 16.16 fixed
+    * point; `nFrames` is the single stts entry's sample count. */
+  def mp4Bytes(timescale: Int, durationTicks: Int, width: Int, height: Int,
+               nFrames: Int, seed: Long): Array[Byte] = {
+    def box(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length) // big-endian default
+      b.putInt(8 + body.length).put(id.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    def full(id: String, body: Array[Byte]): Array[Byte] =
+      box(id, Array[Byte](0, 0, 0, 0) ++ body) // version 0, flags 0
+    def be(ints: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * ints.length)
+      ints.foreach(b.putInt); b.array()
+    }
+    val identityMatrix = be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be(0x200) ++
+        "isommp41".getBytes("US-ASCII"))
+    var s = seed
+    val mdat = box("mdat", Array.tabulate(nFrames * 3) { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 56).toByte
+    })
+    val mvhd = full("mvhd",
+      be(0, 0, timescale, durationTicks, 0x10000) ++ // created, modified, ts, dur, rate 1.0
+        Array[Byte](1, 0) ++ Array.fill[Byte](10)(0) ++ // volume 1.0 + reserved
+        identityMatrix ++ be(0, 0, 0, 0, 0, 0, 2)) // pre_defined ++ next_track_ID
+    val tkhd = box("tkhd",
+      be(3) ++ // version 0, flags = enabled | in_movie
+        be(0, 0, 1, 0, durationTicks) ++ // created, modified, track_ID 1, reserved, dur
+        be(0, 0) ++ Array.fill[Byte](8)(0) ++ // reserved ++ layer/alt/volume/reserved
+        identityMatrix ++ be(width << 16, height << 16))
+    val mdhd = full("mdhd",
+      be(0, 0, timescale, durationTicks) ++ Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val hdlr = full("hdlr",
+      be(0) ++ "vide".getBytes("US-ASCII") ++ be(0, 0, 0) ++ Array[Byte](0))
+    val stts = full("stts", be(1, nFrames, math.max(durationTicks / math.max(nFrames, 1), 1)))
+    val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", box("stbl", stts)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+  }
+
+  /** ISO-BMFF box walk from the raw byte payload — the video analogue of
+    * the pixel-exact image decode and [[wavMeta]]'s RIFF walk: recurses
+    * into container boxes (`moov`/`trak`/`mdia`/`minf`/`stbl`), reads
+    * the `ftyp` major brand, mvhd timescale + duration (duration_ms
+    * derived), tkhd track id and 16.16 fixed-point dimensions, and the
+    * total stts sample count. Version-0 boxes only (32-bit times — the
+    * shape [[mp4Bytes]] writes and the overwhelmingly common on-disk
+    * case). `None` for anything malformed — corrupt payloads are data,
+    * not errors, in a 100 TB crawl. */
+  def mp4Meta(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (payload.length < 8) return None
+    val buf = java.nio.ByteBuffer.wrap(payload) // big-endian default
+    def tag(at: Int): String = new String(payload, at, 4, "US-ASCII")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var brand: Option[String] = None
+    var timescale = 0; var duration = -1L; var trackId = 0
+    var w = -1; var h = -1; var nFrames = -1L
+    def walk(from: Int, to: Int): Boolean = { // false = malformed
+      var pos = from
+      while (pos + 8 <= to) {
+        val size = buf.getInt(pos).toLong & 0xffffffffL
+        if (size < 8 || pos + size > to) return false
+        val end = pos + size.toInt
+        tag(pos + 4) match {
+          case c if containers(c) => if (!walk(pos + 8, end)) return false
+          case "ftyp" if size >= 12 => brand = Some(tag(pos + 8))
+          case "mvhd" if size >= 32 =>
+            timescale = buf.getInt(pos + 20)
+            duration = buf.getInt(pos + 24).toLong & 0xffffffffL
+          case "tkhd" if size >= 92 =>
+            trackId = buf.getInt(pos + 20)
+            w = buf.getInt(pos + 84) >>> 16
+            h = buf.getInt(pos + 88) >>> 16
+          case "stts" if size >= 16 =>
+            val n = buf.getInt(pos + 12)
+            if (pos + 16 + 8L * n > end) return false
+            var total = 0L; var i = 0
+            while (i < n) {
+              total += buf.getInt(pos + 16 + i * 8).toLong & 0xffffffffL; i += 1
+            }
+            nFrames = total
+          case _ => () // unknown leaf boxes are skipped, per the spec
+        }
+        pos = end
+      }
+      true
+    }
+    if (!walk(0, payload.length)) return None
+    for (b <- brand if timescale > 0 && duration >= 0 && trackId > 0 &&
+           w >= 0 && h >= 0 && nFrames >= 0)
+      yield Mp4Meta(b, timescale, duration * 1000L / timescale,
+        trackId, w, h, nFrames)
   }
 
   /** Codec dispatch: real `javax.imageio` decode for images (any format

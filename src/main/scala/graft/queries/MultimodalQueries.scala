@@ -111,5 +111,62 @@ object MultimodalQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(mediaMeta, frameSample, audioMeta)
+  /** REAL video metadata decode (q115's video sibling, closing the last
+    * metadata stub): for every video row, synthesize a valid ISO-BMFF
+    * MP4 payload — ftyp/mdat/moov with nested trak/mdia/stbl boxes —
+    * whose parameters (timescale, duration ticks, dimensions, stts
+    * frame count) derive from the document hash, then PARSE those
+    * fields back out of the BYTES with [[Multimodal.mp4Meta]]'s
+    * recursive box walk (big-endian sizes, 16.16 fixed-point dims).
+    * The synthesized dims are q41's `mediaTable` dims and the stts
+    * count is q42's `n_bytes % 120 + 1` frame count, so the fake
+    * metadata those queries plan over is now certified re-derivable
+    * from a real container format. The oracle computes the same closed
+    * form from the hash directly: DuckDB certifies the synth→parse
+    * round trip through a real MP4 parser is the identity on every
+    * field. Payload bytes never leave the executors. */
+  val videoMeta = Q(
+    "q123_video_meta",
+    (s, d) => {
+      import s.implicits._
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      graft.Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"),
+          element_at(array(lit(600), lit(1000), lit(24000), lit(90000)),
+            (h % 4 + 1).cast("int")).as("ts"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          (h % 640 + 1).cast("int").as("w"),
+          (floor(h / 640) % 480 + 1).cast("int").as("ht"))
+        .as[(Long, Int, Long, Int, Int)]
+        .mapPartitions(_.map { case (id, ts, nBytes, w, ht) =>
+          val m = Multimodal.mp4Meta(Multimodal.mp4Bytes(ts,
+              durationTicks = (nBytes % 5000 + ts).toInt, width = w,
+              height = ht, nFrames = (nBytes % 120 + 1).toInt, seed = id))
+            .getOrElse(sys.error(s"unparseable synthesized MP4 for $id"))
+          (id, m.brand, m.timescale, m.duration_ms, m.track_id,
+            m.width, m.height, m.n_frames)
+        })
+        .toDF("media_id", "brand", "timescale", "duration_ms", "track_id",
+          "width", "height", "n_frames")
+        .orderBy(col("media_id"))
+    },
+    Some {
+      val h = h32Sql("text")
+      s"""WITH v AS (
+            SELECT doc_id AS media_id,
+              [600,1000,24000,90000][CAST($h % 4 + 1 AS INT)] AS timescale,
+              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+              CAST($h % 640 + 1 AS INT) AS width,
+              CAST(($h // 640) % 480 + 1 AS INT) AS height
+            FROM documents WHERE doc_id % 3 = 2)
+          SELECT media_id, 'isom' AS brand, timescale,
+            (n_bytes % 5000 + timescale) * 1000 // timescale AS duration_ms,
+            1 AS track_id, width, height,
+            n_bytes % 120 + 1 AS n_frames
+          FROM v ORDER BY media_id"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(mediaMeta, frameSample, audioMeta, videoMeta)
 }

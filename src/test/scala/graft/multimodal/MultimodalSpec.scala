@@ -107,6 +107,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavMeta(noFmt).isEmpty)
   }
 
+  test("mp4Meta parses a real ISO-BMFF payload back to its parameters") {
+    val bytes = Multimodal.mp4Bytes(timescale = 90000, durationTicks = 180000,
+      width = 640, height = 480, nFrames = 48, seed = 7L)
+    assert(Multimodal.mp4Meta(bytes).contains(Mp4Meta(brand = "isom",
+      timescale = 90000, duration_ms = 2000L, track_id = 1,
+      width = 640, height = 480, n_frames = 48L)))
+
+    // structural invariants of the writer: ftyp leads, box sizes tile
+    // the payload exactly (the property the parser's walk relies on)
+    assert(new String(bytes, 4, 4, "US-ASCII") == "ftyp")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    var pos = 0
+    val top = Seq.newBuilder[String]
+    while (pos < bytes.length) {
+      top += new String(bytes, pos + 4, 4, "US-ASCII")
+      pos += buf.getInt(pos)
+    }
+    assert(pos == bytes.length)
+    assert(top.result() == Seq("ftyp", "mdat", "moov"))
+
+    // duration uses integer ms (flooring), as the WAV path does
+    val m = Multimodal.mp4Meta(
+      Multimodal.mp4Bytes(600, 1543, 320, 240, nFrames = 1, seed = 1L)).get
+    assert(m.duration_ms == 2571L) // 1543/600 s = 2571.66... ms
+  }
+
+  test("mp4Meta rejects malformed payloads instead of failing the batch") {
+    assert(Multimodal.mp4Meta(Array.emptyByteArray).isEmpty)
+    // text bytes (what a wrongly-tagged row would carry) are not boxes
+    assert(Multimodal.mp4Meta("plain text, not a video".getBytes).isEmpty)
+    val good = Multimodal.mp4Bytes(1000, 5000, 64, 64, nFrames = 5, seed = 2L)
+    assert(Multimodal.mp4Meta(good.take(40)).isEmpty) // truncated mid-mdat
+    // a box whose declared size overruns the payload is malformed, not
+    // an out-of-bounds read
+    val overrun = good.clone()
+    java.nio.ByteBuffer.wrap(overrun).putInt(0, good.length * 2)
+    assert(Multimodal.mp4Meta(overrun).isEmpty)
+    // ftyp alone (no moov) has no metadata to certify
+    assert(Multimodal.mp4Meta(good.take(24)).isEmpty)
+  }
+
   test("resizeMeta preserves aspect ratio and never upscales") {
     val r = Multimodal.resizeMeta(Multimodal.mediaTable(spark, sfDir), 320, 240)
       .select($"width", $"height", $"out_w", $"out_h")
