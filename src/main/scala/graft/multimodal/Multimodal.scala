@@ -301,8 +301,10 @@ object Multimodal {
       .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
       .drop("scale")
 
-  /** Frame sampling for video rows: every `step`-th frame index of a fake
-    * frame count derived from payload size (generator/explode shape). */
+  /** Frame sampling for video rows: every `step`-th frame index of a
+    * frame count derived from payload size (generator/explode shape) —
+    * the same count q123 synthesizes into, and parses back out of, a
+    * real MP4 stts box. */
   def sampleFrames(media: DataFrame, step: Int): DataFrame =
     media.where(col("kind") === "video")
       .withColumn("n_frames", (col("n_bytes") % 120 + 1).cast("int"))
