@@ -15,6 +15,9 @@ case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
 /** Parsed RIFF/WAVE header fields (all from the byte payload). */
 case class WavMeta(audio_format: Int, channels: Int, sample_rate: Int,
     bits_per_sample: Int, n_samples: Long, duration_ms: Long)
+/** Per-channel amplitude stats decoded from 16-bit PCM frames. */
+case class WavChannelStats(channel: Int, n_frames: Long, s_min: Int,
+    s_max: Int, rms: Double)
 /** Parsed ISO-BMFF (MP4) box fields (all from the byte payload). */
 case class Mp4Meta(brand: String, timescale: Int, duration_ms: Long,
     track_id: Int, width: Int, height: Int, n_frames: Long)
@@ -130,41 +133,122 @@ object Multimodal {
     buf.array()
   }
 
-  /** RIFF/WAVE header parse from the raw byte payload — the audio
-    * analogue of the pixel-exact image decode: walks the chunk list
-    * (little-endian sizes, even-byte padding), reads the `fmt ` fields,
-    * and derives sample count and duration from the `data` chunk size.
-    * `None` for anything malformed (truncated, wrong magic, missing
-    * chunks) — corrupt payloads are data, not errors, in a 100 TB
-    * crawl. */
-  def wavMeta(payload: Array[Byte]): Option[WavMeta] = {
+  /** 16-bit PCM RIFF/WAVE writer over EXPLICIT interleaved samples
+    * (frame f, channel c at `samples(f * channels + c)`), the q124
+    * counterpart of the LCG-seeded [[wavBytes]]: when the caller owns
+    * the sample values, the synth→parse oracle can state amplitude
+    * facts about them in closed form. `samples.length` must be a
+    * multiple of `channels`. */
+  def wavBytesPcm(sampleRate: Int, channels: Int,
+                  samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"${samples.length} samples do not tile $channels channels")
+    val blockAlign = channels * 2
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort)
+      .putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Shared RIFF chunk walk: `fmt ` fields plus the `data` chunk's
+    * offset and size, or `None` for anything malformed. Declared sizes
+    * are unsigned 32-bit and kept as `Long` throughout; a chunk whose
+    * declared extent overruns the payload (the classic 0xFFFFFFF8
+    * hostile size) is rejected rather than truncated to a
+    * non-advancing or negative `Int` step. */
+  private def wavChunks(payload: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Int, Long)] = {
     if (payload.length < 12) return None
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(at: Int): String =
       new String(payload, at, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var pos = 12
+    var pos = 12L // Long throughout: declared sizes are unsigned 32-bit
     var fmt: Option[(Int, Int, Int, Int, Int)] = None // fmt, ch, sr, align, bits
-    var dataSize = -1L
-    while (pos + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
-      val id = tag(pos)
-      val size = buf.getInt(pos + 4).toLong & 0xffffffffL
-      if (id == "fmt " && size >= 16 && pos + 8 + 16 <= payload.length)
-        fmt = Some((buf.getShort(pos + 8) & 0xffff,
-          buf.getShort(pos + 10) & 0xffff,
-          buf.getInt(pos + 12),
-          buf.getShort(pos + 20) & 0xffff,
-          buf.getShort(pos + 22) & 0xffff))
-      else if (id == "data") dataSize = size
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    var dataPos = -1; var dataSize = -1L
+    var bad = false
+    while (!bad && pos + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
+      val p = pos.toInt // safe: pos + 8 <= payload.length <= Int.MaxValue
+      val id = tag(p)
+      val size = buf.getInt(p + 4).toLong & 0xffffffffL
+      if (pos + 8 + size > payload.length) bad = true // chunk overruns payload
+      else {
+        if (id == "fmt " && size >= 16)
+          fmt = Some((buf.getShort(p + 8) & 0xffff,
+            buf.getShort(p + 10) & 0xffff,
+            buf.getInt(p + 12),
+            buf.getShort(p + 20) & 0xffff,
+            buf.getShort(p + 22) & 0xffff))
+        else if (id == "data") { dataPos = p + 8; dataSize = size }
+        pos += 8 + size + (size & 1L) // chunks pad to even; always advances
+      }
     }
     for ((audioFormat, ch, sr, align, bits) <- fmt
-         if dataSize >= 0 && align > 0 && sr > 0)
-      yield WavMeta(audioFormat, ch, sr, bits,
+         if !bad && dataSize >= 0 && align > 0 && sr > 0)
+      yield (audioFormat, ch, sr, align, bits, dataPos, dataSize)
+  }
+
+  /** RIFF/WAVE header parse from the raw byte payload — the audio
+    * analogue of the pixel-exact image decode: walks the chunk list
+    * (little-endian sizes, even-byte padding), reads the `fmt ` fields,
+    * and derives sample count and duration from the `data` chunk size.
+    * `None` for anything malformed (truncated, wrong magic, missing
+    * chunks, chunk sizes overrunning the payload) — corrupt payloads
+    * are data, not errors, in a 100 TB crawl. */
+  def wavMeta(payload: Array[Byte]): Option[WavMeta] =
+    wavChunks(payload).map { case (audioFormat, ch, sr, align, bits, _, dataSize) =>
+      WavMeta(audioFormat, ch, sr, bits,
         n_samples = dataSize / align,
         duration_ms = dataSize * 1000L / (sr.toLong * align))
-  }
+    }
+
+  /** REAL 16-bit PCM sample decode (the last closable synthetic-sample
+    * face — video frame pixels stay out of scope, no codecs
+    * in-container): decodes every little-endian frame of the `data`
+    * chunk and folds per-channel amplitude stats (min, max, RMS) in one
+    * pass, O(channels) memory. RMS accumulates the exact integer sum of
+    * squares in a `Long` (|v| ≤ 2^15 so 2^31 frames fit without
+    * overflow), then takes one double sqrt — deterministic and
+    * bit-identical to any engine computing sqrt(sum(v²)/n) over the
+    * same integers. `None` unless the payload is well-formed PCM
+    * (format 1) at 16 bits with a whole number of frames. */
+  def wavPcmStats(payload: Array[Byte]): Option[Seq[WavChannelStats]] =
+    wavChunks(payload).flatMap {
+      case (audioFormat, ch, _, align, bits, dataPos, dataSize) =>
+        val nFrames = dataSize / align
+        if (audioFormat != 1 || bits != 16 || align != ch * 2 ||
+            dataSize % align != 0 || nFrames == 0) None
+        else {
+          val buf = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val mins = Array.fill(ch)(Int.MaxValue)
+          val maxs = Array.fill(ch)(Int.MinValue)
+          val sumSq = Array.fill(ch)(0L)
+          var i = 0; val n = (nFrames * ch).toInt
+          while (i < n) {
+            val c = i % ch
+            val v = buf.getShort(dataPos + i * 2).toInt
+            if (v < mins(c)) mins(c) = v
+            if (v > maxs(c)) maxs(c) = v
+            sumSq(c) += v.toLong * v
+            i += 1
+          }
+          Some((0 until ch).map(c => WavChannelStats(c, nFrames,
+            mins(c), maxs(c), math.sqrt(sumSq(c).toDouble / nFrames))))
+        }
+    }
 
   /** Minimal ISO-BMFF (MP4) writer: `ftyp` + `mdat` (LCG fake sample
     * bytes) + `moov{ mvhd, trak{ tkhd, mdia{ mdhd, hdlr, minf{ stbl{

@@ -105,6 +105,65 @@ class MultimodalSpec extends SparkSpec {
       .put("WAVE".getBytes("US-ASCII"))
       .put("data".getBytes("US-ASCII")).putInt(0).array()
     assert(Multimodal.wavMeta(noFmt).isEmpty)
+    // unsigned 32-bit chunk sizes near 2^32: an Int truncation would make
+    // the walk stall (0xFFFFFFF8 → advance 0) or seek backwards — these
+    // must terminate and return None, not loop or throw
+    val good16 = Multimodal.wavBytes(16000, 1, 16, 10, seed = 3L)
+    for (evil <- Seq(0xFFFFFFF8, 0xFFFFFFFF, 0x80000000, Int.MaxValue)) {
+      val hostile = good16.clone()
+      java.nio.ByteBuffer.wrap(hostile)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(16, evil) // declared fmt-chunk size overruns the payload
+      assert(Multimodal.wavMeta(hostile).isEmpty)
+      val hostileData = good16.clone()
+      java.nio.ByteBuffer.wrap(hostileData)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(40, evil) // declared data-chunk size overruns the payload
+      assert(Multimodal.wavMeta(hostileData).isEmpty)
+    }
+  }
+
+  test("wavPcmStats decodes 16-bit PCM frames back to per-channel stats") {
+    // stereo: channel 0 is a known ramp, channel 1 a known constant —
+    // min/max/rms all computable by hand
+    val frames = Array.tabulate(4)(f => Array((f * 100 - 150).toShort, 1000.toShort))
+    val bytes = Multimodal.wavBytesPcm(8000, 2, frames.flatten)
+    val st = Multimodal.wavPcmStats(bytes).get
+    assert(st.length == 2)
+    val c0 = st(0); val c1 = st(1)
+    assert(c0 == WavChannelStats(0, 4, -150, 150,
+      math.sqrt((150.0 * 150 + 50 * 50 + 50 * 50 + 150 * 150) / 4)))
+    assert(c1 == WavChannelStats(1, 4, 1000, 1000, 1000.0))
+
+    // byte-level: flipping one sample byte changes exactly that channel
+    val tweaked = bytes.clone()
+    tweaked(44) = (tweaked(44) ^ 0xff).toByte // frame 0, channel 0, low byte
+    val st2 = Multimodal.wavPcmStats(tweaked).get
+    assert(st2(1) == c1 && st2(0) != c0)
+
+    // the LCG fixture agrees with an independent replay of the generator
+    val lcg = Multimodal.wavBytes(16000, 2, 16, 100, seed = 9L)
+    val stLcg = Multimodal.wavPcmStats(lcg).get
+    var s = 9L
+    val replay = Array.fill(200) {
+      s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 48).toShort
+    }
+    for (c <- 0 to 1) {
+      val ch = replay.zipWithIndex.collect { case (v, i) if i % 2 == c => v.toInt }
+      assert(stLcg(c).s_min == ch.min && stLcg(c).s_max == ch.max)
+      assert(math.abs(stLcg(c).rms -
+        math.sqrt(ch.map(v => v.toLong * v).sum.toDouble / 100)) == 0.0)
+    }
+
+    // malformed / non-PCM payloads decode to None, not errors
+    assert(Multimodal.wavPcmStats(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.wavPcmStats(bytes.take(50)).isEmpty) // truncated data
+    val notPcm = bytes.clone()
+    java.nio.ByteBuffer.wrap(notPcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3) // audio_format = IEEE float, not PCM
+    assert(Multimodal.wavPcmStats(notPcm).isEmpty)
+    val zeroFrames = Multimodal.wavBytesPcm(8000, 1, Array.empty[Short])
+    assert(Multimodal.wavPcmStats(zeroFrames).isEmpty) // nothing to certify
   }
 
   test("mp4Meta parses a real ISO-BMFF payload back to its parameters") {
