@@ -54,6 +54,17 @@ object IvfIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$dir/cells")
   }
 
+  /** Compact cell partitions that [[append]] increments have fragmented
+    * past `maxFilesPerCell` data files — see [[IndexMaintenance]] for
+    * the cost model (append promises no rewrite; ~365 daily increments
+    * later, probe latency is file-open overhead) and the swap
+    * mechanics. Only over-threshold cells are read or rewritten; the
+    * stored quantizer is untouched, so probe results are identical
+    * before and after (IvfIndexSpec asserts both). */
+  def compact(spark: SparkSession, dir: String,
+              maxFilesPerCell: Int = 8): CompactStats =
+    IndexMaintenance.compactCells(spark, s"$dir/cells", maxFilesPerCell)
+
   /** Probe: assign each probe to its `nprobe` nearest cells, then join
     * the (broadcast) probe set against the partitioned cells table — the
     * partition-column equi-join is what triggers dynamic partition

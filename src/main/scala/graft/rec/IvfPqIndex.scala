@@ -83,6 +83,16 @@ object IvfPqIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
   }
 
+  /** Compact code partitions that [[append]] increments have fragmented
+    * past `maxFilesPerCell` data files ([[IvfIndex.compact]]'s twin —
+    * see [[IndexMaintenance]] for the cost model and swap mechanics).
+    * Only over-threshold cells are read or rewritten; both stored
+    * quantizers are untouched, so probe results are identical before
+    * and after (IvfPqIndexSpec asserts both). */
+  def compact(spark: SparkSession, dir: String,
+              maxFilesPerCell: Int = 8): CompactStats =
+    IndexMaintenance.compactCells(spark, s"$dir/codes", maxFilesPerCell)
+
   /** Probe from disk: assign each probe to its `nprobe` nearest cells
     * (broadcast), join the partitioned codes table on the partition
     * column — dynamic partition pruning reads only the probed cells'

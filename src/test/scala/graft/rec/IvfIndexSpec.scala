@@ -76,6 +76,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("compaction bounds per-cell files without changing probe results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString
+    // three increments fragment every populated cell to >= 2 files
+    IvfIndex.build(vectors.where($"vec_id" % 3 === 0), dir, k = 8, iters = 2)
+    IvfIndex.append(spark, vectors.where($"vec_id" % 3 === 1), dir)
+    IvfIndex.append(spark, vectors.where($"vec_id" % 3 === 2), dir)
+
+    def cellFiles(): Map[String, Set[String]] = {
+      val cells = new java.io.File(s"$dir/cells")
+      cells.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(f => s"${f.getName}@${f.lastModified}").toSet)
+        .toMap
+    }
+    val probes = vectors.where($"vec_id" < 5)
+    val before = IvfIndex.probe(spark, dir, probes, nprobe = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val filesBefore = cellFiles()
+    val threshold = 2
+    assert(filesBefore.values.exists(_.size > threshold),
+      "fixture failed to fragment any cell past the threshold")
+
+    val stats = IvfIndex.compact(spark, dir, maxFilesPerCell = threshold)
+    val filesAfter = cellFiles()
+    // rewritten exactly the over-threshold cells, each down to one file
+    assert(stats.cells_compacted ==
+      filesBefore.count(_._2.size > threshold))
+    assert(stats.files_after < stats.files_before)
+    filesBefore.foreach { case (cell, fb) =>
+      if (fb.size > threshold) assert(filesAfter(cell).size == 1)
+      else assert(filesAfter(cell) == fb, s"under-threshold $cell was touched")
+    }
+    // staging dir is gone and probe results are byte-identical
+    assert(!new java.io.File(s"$dir/cells/.compacting").exists())
+    val after = IvfIndex.probe(spark, dir, probes, nprobe = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(after.nonEmpty && after == before)
+    // idempotent: a second pass finds nothing over threshold
+    assert(IvfIndex.compact(spark, dir, maxFilesPerCell = threshold) ==
+      CompactStats(0, 0, 0))
+  }
+
   test("catalog q83 probes its persisted index through dynamic partition pruning") {
     // the catalog-path twin of the assertion below: the ORACLE row proves
     // q83's results; this proves the layout property on the exact plan the

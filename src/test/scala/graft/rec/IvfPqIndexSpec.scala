@@ -99,6 +99,41 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("compaction bounds per-cell code files without changing probe results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-cmp").toString
+    IvfPqIndex.build(vectors.where($"vec_id" % 3 === 0), dir, ivfK = 8,
+      ivfIters = 2, s = 4, subDim = 16, k = 8, iters = 2)
+    IvfPqIndex.append(spark, vectors.where($"vec_id" % 3 === 1), dir,
+      s = 4, subDim = 16)
+    IvfPqIndex.append(spark, vectors.where($"vec_id" % 3 === 2), dir,
+      s = 4, subDim = 16)
+
+    def fileCounts(): Map[String, Int] = {
+      val codes = new java.io.File(s"$dir/codes")
+      codes.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(d => d.getName -> d.listFiles()
+          .count(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")))
+        .toMap
+    }
+    val probes = vectors.where($"vec_id" < 5)
+    val before = IvfPqIndex.probe(spark, dir, probes, vectors, nprobe = 2,
+      s = 4, subDim = 16, shortlist = 40, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val countsBefore = fileCounts()
+    assert(countsBefore.values.exists(_ > 1),
+      "fixture failed to fragment any cell")
+
+    val stats = IvfPqIndex.compact(spark, dir, maxFilesPerCell = 1)
+    assert(stats.cells_compacted == countsBefore.count(_._2 > 1))
+    assert(stats.files_after < stats.files_before)
+    assert(fileCounts().values.forall(_ <= 1))
+    val after = IvfPqIndex.probe(spark, dir, probes, vectors, nprobe = 2,
+      s = 4, subDim = 16, shortlist = 40, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(after.nonEmpty && after == before)
+  }
+
   test("the codes scan is dynamically partition-pruned by the probe's cid set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString
     IvfPqIndex.build(vectors, dir, ivfK = 8, ivfIters = 2,
