@@ -290,6 +290,54 @@ object Recommender {
     None
   )
 
+  /** q37's deterministic oracle face (VERDICT r10 item 5 — the one
+    * catalog row without a hash gate): the EXACT serving path q37 runs —
+    * candidate generation × item catalog, anti-join against rated
+    * pairs, [[AlsPipeline.scoreFactors]] factor join, per-user window
+    * top-k — but over FIXED factor tables whose entries are a closed
+    * form of the ids (`((id·7 + j·3) mod 16)/16` per user dim j,
+    * `((id·5 + j·2) mod 16)/16` per item dim j, rank 4). Factors are
+    * then just data: DuckDB reproduces every score exactly (sixteenths
+    * are exact binary fractions, and a 4-term left-to-right dot product
+    * is bit-identical cross-engine), so the serving plan itself gets a
+    * full rows+schema+hash gate. q37 keeps serving TRAINED factors
+    * rows-only — ALS factor output is nondeterministic, and its quality
+    * is anchored by AlsSpec's published-table parity instead. */
+  val alsServeFixed = Q(
+    "q125_als_serve_fixed",
+    (s, d) => {
+      val r = Ratings.view(s, d).cache()
+      val uf = r.select(col("user_id")).distinct()
+        .withColumn("uf", transform(sequence(lit(0L), lit(3L)),
+          j => ((col("user_id") * 7 + j * 3) % 16).cast("double") / 16.0))
+      val itf = r.select(col("item_id")).distinct()
+        .withColumn("if", transform(sequence(lit(0L), lit(3L)),
+          j => ((col("item_id") * 5 + j * 2) % 16).cast("double") / 16.0))
+      val users = r.select(col("user_id")).where(col("user_id") < 20).distinct()
+      AlsPipeline.serveTopK(uf, itf, r, users, 5)
+        .orderBy(col("user_id"), col("rank"))
+    },
+    Some(s"""WITH r AS ($rview),
+            users AS (SELECT DISTINCT user_id FROM r WHERE user_id < 20),
+            items AS (SELECT DISTINCT item_id FROM r),
+            cand AS (SELECT user_id, item_id FROM users CROSS JOIN items
+                     ANTI JOIN r USING (user_id, item_id)),
+            scored AS (SELECT user_id, item_id,
+              CAST((user_id * 7 + 0) % 16 AS DOUBLE) / 16 * (CAST((item_id * 5 + 0) % 16 AS DOUBLE) / 16)
+              + CAST((user_id * 7 + 3) % 16 AS DOUBLE) / 16 * (CAST((item_id * 5 + 2) % 16 AS DOUBLE) / 16)
+              + CAST((user_id * 7 + 6) % 16 AS DOUBLE) / 16 * (CAST((item_id * 5 + 4) % 16 AS DOUBLE) / 16)
+              + CAST((user_id * 7 + 9) % 16 AS DOUBLE) / 16 * (CAST((item_id * 5 + 6) % 16 AS DOUBLE) / 16)
+                AS score
+              FROM cand),
+            ranked AS (SELECT user_id, item_id,
+                         CAST(row_number() OVER (PARTITION BY user_id
+                           ORDER BY score DESC, item_id) AS BIGINT) AS rank,
+                         score
+                       FROM scored)
+            SELECT user_id, item_id, rank, round(score, 6) AS score
+            FROM ranked WHERE rank <= 5 ORDER BY user_id, rank""")
+  )
+
   /** A8 — weighted loss averaging (ref `src/csv/train_topn.py:80-109`
     * accumulates per-batch losses and divides by the batch count): the
     * epoch-level training metric `Σ(loss_b·n_b) / Σ(n_b)` over a
@@ -812,7 +860,7 @@ object Recommender {
   )
 
   val all: Seq[Q] = Seq(itemCf, rmseBaseline, userTopk, precisionRecall,
-    graphPropagation, graphPropagationK2, alsRecs, multiclassAccuracy,
-    weightedLoss, bprLoss, mfGdTraining, bprGdTraining, lightgcnTraining,
-    userTopkAgg, bprTopnMetric, lightgcnHoldoutEval)
+    graphPropagation, graphPropagationK2, alsRecs, alsServeFixed,
+    multiclassAccuracy, weightedLoss, bprLoss, mfGdTraining, bprGdTraining,
+    lightgcnTraining, userTopkAgg, bprTopnMetric, lightgcnHoldoutEval)
 }

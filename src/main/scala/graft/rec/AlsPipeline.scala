@@ -38,19 +38,27 @@ object AlsPipeline {
     * `transform` produces, but as a plain relational plan over factor
     * DataFrames, so any downstream operator (anti-join, window top-k,
     * upsert) composes with it. */
-  def scoreExplicit(model: ALSModel, pairs: DataFrame): DataFrame = {
-    val uf = model.userFactors.select(col("id").as("user_id"),
-      col("features").as("uf"))
-    val itf = model.itemFactors.select(col("id").as("item_id"),
-      col("features").as("if"))
+  def scoreExplicit(model: ALSModel, pairs: DataFrame): DataFrame =
+    scoreFactors(
+      model.userFactors.select(col("id").as("user_id"), col("features").as("uf")),
+      model.itemFactors.select(col("id").as("item_id"), col("features").as("if")),
+      pairs)
+      .withColumn("score", col("score").cast("float")) // MLlib transform parity
+
+  /** The factor-join scoring core of [[scoreExplicit]], over PLAIN factor
+    * TABLES (`user_id, uf` / `item_id, if`) rather than a trained model —
+    * factors are just data to the serving plan, which is what lets q125
+    * hash-check this exact path against a DuckDB oracle with fixed
+    * factor tables (the trained q37 face stays rows-only: ALS output is
+    * nondeterministic). */
+  def scoreFactors(userFactors: DataFrame, itemFactors: DataFrame,
+                   pairs: DataFrame): DataFrame =
     pairs
-      .join(uf, Seq("user_id"))
-      .join(broadcast(itf), Seq("item_id"))
+      .join(userFactors, Seq("user_id"))
+      .join(broadcast(itemFactors), Seq("item_id"))
       .withColumn("score",
-        graft.expr.GraftFunctions.dotProduct(col("uf"), col("if"))
-          .cast("float"))
+        graft.expr.GraftFunctions.dotProduct(col("uf"), col("if")))
       .drop("uf", "if")
-  }
 
   /** Top-k recommendations for a user subset, excluding already-rated
     * items via left-anti join (P7). Output: user_id, item_id, rank.
@@ -67,16 +75,38 @@ object AlsPipeline {
     * candidate set is always |users|·|items| − |rated|, pruned to top-k
     * inside the window (Spark ≥3.5 plans rank≤k as a group limit). */
   def recommendTopK(model: ALSModel, ratings: DataFrame, users: DataFrame,
-                    k: Int): DataFrame = {
-    val items = model.itemFactors.select(col("id").as("item_id"))
+                    k: Int): DataFrame =
+    serveTopK(
+      model.userFactors.select(col("id").as("user_id"), col("features").as("uf")),
+      model.itemFactors.select(col("id").as("item_id"), col("features").as("if")),
+      ratings, users, k, floatScores = true)
+      .select(col("user_id"), col("item_id"), col("rank"))
+
+  /** The serving core of [[recommendTopK]] over plain factor tables
+    * (candidate generation → anti-join → [[scoreFactors]] → per-user
+    * window top-k), returning the score alongside the rank. q37 serves
+    * TRAINED factors through this path (rows-only — ALS is
+    * nondeterministic); q125 serves FIXED factor tables through the
+    * SAME path, which is what gives the path itself a hash-checked
+    * DuckDB oracle. `floatScores` ranks on the float-cast score —
+    * [[recommendTopK]]'s MLlib-transform parity — while q125 ranks the
+    * exact doubles its oracle can reproduce. */
+  def serveTopK(userFactors: DataFrame, itemFactors: DataFrame,
+                ratings: DataFrame, users: DataFrame, k: Int,
+                floatScores: Boolean = false): DataFrame = {
+    val items = itemFactors.select(col("item_id"))
     val cand = items.crossJoin(broadcast(users.select(col("user_id"))))
       .join(ratings.select("user_id", "item_id"), Seq("user_id", "item_id"),
         "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("score").desc, col("item_id"))
-    scoreExplicit(model, cand)
+    val scored = scoreFactors(userFactors, itemFactors, cand)
+    (if (floatScores)
+       scored.withColumn("score", col("score").cast("float"))
+     else scored)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("user_id"), col("item_id"), col("rank"))
+      .select(col("user_id"), col("item_id"), col("rank"),
+        round(col("score"), 6).as("score"))
   }
 }
