@@ -276,4 +276,76 @@ class CypherCompatSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(left == Set((us(1), m0)))
   }
+
+  test("string literals containing keywords parse as data, spacing intact " +
+      "(ADVICE r10: the clause scanner must not split inside quotes)") {
+    val g = freshGraph
+    val anyUser = ratings.select($"user_id").orderBy($"user_id").as[Long].head()
+    // SET value holding clause keywords and a double space
+    g.write(s"MATCH (u:User{UserID:$anyUser}) SET u.Note = 'set  limit 5 match'")
+    val got = g.read(s"MATCH (u:User{UserID:$anyUser}) " +
+      "RETURN u.UserID AS user_id, u.Note AS note")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((anyUser, "set  limit 5 match")))
+    // a Title VALUE containing a keyword word filters quietly (no match)
+    assert(g.read("MATCH (m:Movie{Title:'The Match'}) " +
+      "RETURN m.MovieID AS movie_id").count() == 0L)
+  }
+
+  test("inline edge properties in MATCH filter the relationship " +
+      "(ADVICE r10: parsed-but-unapplied would silently return all rows)") {
+    val users = Seq(1L, 2L).toDF("UserID")
+    val movies = Seq(10L, 20L).toDF("MovieID")
+    val rate = Seq((1L, 10L, 5.0), (1L, 20L, 3.0), (2L, 10L, 5.0))
+      .toDF("__src", "__dst", "Rating")
+    val g = new CypherGraph(spark,
+      Map("User" -> ("UserID", users), "Movie" -> ("MovieID", movies)),
+      Map("Rate" -> ("User", "Movie", rate)))
+    val got = g.read("MATCH (u:User)-[r:Rate{Rating:5}]->(m:Movie) " +
+      "RETURN u.UserID AS user_id, m.MovieID AS movie_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L)))
+    // a property no relationship type carries matches nothing (null ≠ v)
+    assert(g.read("MATCH (u:User)-[r:Rate{Weight:1}]->(m:Movie) " +
+      "RETURN u.UserID AS user_id").count() == 0L)
+  }
+
+  test("unsupported constructs fail with the named exception citing the " +
+      "migration rewrite table (VERDICT r10 item 6)") {
+    val g = freshGraph
+    val qs = Seq(
+      "OPTIONAL MATCH (u:User) RETURN u.UserID",
+      "MATCH (u:User)-[r:Rate*1..3]->(m:Movie) RETURN u.UserID",
+      "MATCH (u:User)-[r:Rate]->(m:Movie) RETURN u.UserID, collect(m.MovieID)",
+      "UNWIND x AS y RETURN y",
+      "CREATE (u:User) RETURN u.UserID",
+      "MATCH (u:User) CALL apoc.do() RETURN u.UserID")
+    qs.foreach { q =>
+      val e = intercept[UnsupportedCypherException](g.read(q))
+      assert(e.getMessage.contains("MIGRATION.md"), s"for: $q\n${e.getMessage}")
+    }
+    // but the keyword INSIDE a literal does not trip the detector
+    assert(g.read("MATCH (m:Movie{Title:'create union unwind'}) " +
+      "RETURN m.MovieID AS movie_id").count() == 0L)
+  }
+
+  test("repeated SET writes keep the store's lineage flat and visible " +
+      "(ADVICE r10: per-write cache stacking grew state and lineage)") {
+    val g = freshGraph
+    val anyUser = ratings.select($"user_id").orderBy($"user_id").as[Long].head()
+    def readBack = g.read(s"MATCH (u:User{UserID:$anyUser}) " +
+      "RETURN u.UserID AS user_id, u.Interest AS interest")
+    def planNodes: Int =
+      readBack.queryExecution.optimizedPlan.treeString.count(_ == '\n')
+    g.write("MATCH (u:User) SET u.Interest = 'v1'")
+    g.write(s"MATCH (u:User{UserID:$anyUser}) SET u.Interest = 'v2'")
+    val after2 = planNodes
+    (3 to 12).foreach(i =>
+      g.write(s"MATCH (u:User{UserID:$anyUser}) SET u.Interest = 'v$i'"))
+    // the read plan over the store has the same node count after 12
+    // writes as after 2 — each write re-rooted the table at a leaf
+    assert(planNodes == after2)
+    assert(readBack.as[(Long, String)].collect().toSeq ==
+      Seq((anyUser, "v12")))
+  }
 }
