@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.stream.{RatingEvent, StreamOps}
+
+/** Streaming throughput bench (VERDICT r10 item 3: the batch catalog has
+  * 122 timed queries; the reference's HEADLINE real-time recommender —
+  * `streaming_rec.py:77-127` → [[StreamOps.interestStream]] /
+  * [[StreamOps.topNForUsers]] — had correctness specs but no throughput
+  * number). Drives the pipeline with a rate source joined against the
+  * sf item table and reports, per configuration: sustained events/s,
+  * micro-batch latency (p50/max), and final state-store size.
+  *
+  * Configurations:
+  *  - `state_noevict`  — rate → parse-shape → broadcast enrich →
+  *    interest state, NO idle horizon (state = every user ever seen)
+  *  - `state_evict`    — same with the event-time idle horizon, so
+  *    state is O(active users); the generator ROTATES the active user
+  *    cohort (1000 live users, shifting every `rotate` events) to make
+  *    the difference measurable: without eviction state grows one
+  *    cohort per rotation, with it the watermark clears retired cohorts
+  *  - `serve_evict`    — the full reference loop: the evicted-state
+  *    interest stream plus per-batch cosine top-10 over the whole item
+  *    catalog (foreachBatch, [[StreamOps.topNForUsers]])
+  *
+  * Event time = the rate source's wall-clock timestamp, so the 0-delay
+  * watermark advances in real time and a 10 s idle horizon evicts
+  * within the run. Output: ONE JSON line (stdout + stderr, Bench's
+  * convention); the committed `STREAMBENCH_r{N}.json` is this line.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "45").toInt
+    val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "20000").toInt
+    val rotate = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROTATE", "100000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val items = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("int").as("itemId"),
+        col("embedding").cast("array<double>").as("features"))
+      .cache()
+    val nItems = items.count()
+    val dim = items.select(size(col("features"))).as[Int].head()
+
+    def events() = {
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", cpus)
+        .load()
+        .select(
+          // 1000 live users; the cohort retires every `rotate` events
+          ((col("value") % 1000) + (col("value") / rotate) * 1000)
+            .cast("int").as("userId"),
+          (col("value") % nItems).cast("int").as("itemId"),
+          (lit(1.0) + (col("value") % 5)).as("rating"),
+          unix_millis(col("timestamp")).as("ts"))
+        .as[RatingEvent]
+    }
+
+    def run(label: String, idle: Option[java.time.Duration],
+            serve: Boolean): String = {
+      val interests = StreamOps.interestStream(
+        StreamOps.enrich(events(), items), dim, idleTimeout = idle)
+      val writer =
+        if (serve)
+          interests.writeStream.outputMode("append")
+            .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.stream.UserInterest], _: Long) =>
+              StreamOps.topNForUsers(df.toDF(), items, 10).write
+                .format("noop").mode("overwrite").save()
+            }
+        else
+          interests.writeStream.outputMode("append").format("noop")
+      val q = writer.option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-sb-$label").toString)
+        .start()
+      Thread.sleep(secs * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      // drop the first 3 batches (bring-up: codegen, broadcast, state
+      // store open) so "sustained" means steady state
+      val steady = progress.drop(3).filter(_.numInputRows > 0)
+      val trigMs = steady.map(_.durationMs.get("triggerExecution").toLong)
+      val rows = steady.map(_.numInputRows).sum
+      val eps = rows.toDouble * 1000 / math.max(trigMs.sum, 1L)
+      val sorted = trigMs.sorted
+      def p50 = if (sorted.isEmpty) 0L else sorted(sorted.size / 2)
+      val st = progress.lastOption.flatMap(_.stateOperators.headOption)
+      def r1(v: Double) = "%.1f".format(v)
+      s""""$label":{"events_per_sec":${r1(eps)},"batches":${steady.size},""" +
+        s""""batch_ms_p50":$p50,"batch_ms_max":${sorted.lastOption.getOrElse(0L)},""" +
+        s""""state_rows_final":${st.map(_.numRowsTotal).getOrElse(-1L)},""" +
+        s""""state_mem_mb":${r1(st.map(_.memoryUsedBytes).getOrElse(0L) / 1048576.0)},""" +
+        s""""rows_removed_total":${progress.map(_.stateOperators.headOption.map(_.numRowsRemoved).getOrElse(0L)).sum}}"""
+    }
+
+    val idle = Some(java.time.Duration.ofSeconds(10))
+    val parts = Seq(
+      run("state_noevict", None, serve = false),
+      run("state_evict", idle, serve = false),
+      run("serve_evict", idle, serve = true))
+    val line = parts.mkString(
+      s"""{"metric":"stream_bench","rate_rows_per_sec":$rate,"secs_per_config":$secs,""" +
+        s""""rotate_events":$rotate,"items":$nItems,"dim":$dim,"configs":{""",
+      ",", s"""},"sf":"$sfDir"}""")
+    println(line)
+    System.err.println(line)
+    spark.stop()
+  }
+}
