@@ -329,6 +329,24 @@ class CypherCompatSpec extends SparkSpec {
       "RETURN m.MovieID AS movie_id").count() == 0L)
   }
 
+  test("reserved-looking IDENTIFIERS do not trip the unsupported " +
+      "detectors (ADVICE r11: clause-position anchoring)") {
+    val g = freshGraph
+    // alias spelled like a clause keyword
+    assert(g.read("MATCH (u:User) RETURN u.UserID AS call").count() > 0L)
+    assert(g.read("MATCH (u:User) RETURN u.UserID AS union").count() > 0L)
+    // pattern variable + property reads spelled like clause keywords
+    assert(g.read("MATCH (create:User) RETURN create.UserID AS user_id")
+      .count() > 0L)
+    assert(g.read("MATCH (u:User) RETURN u.unwind AS v").count() > 0L)
+    // while the same words in CLAUSE position still fail by name
+    intercept[UnsupportedCypherException](
+      g.read("MATCH (u:User) RETURN u.UserID AS x UNION MATCH (v:User) " +
+        "RETURN v.UserID AS x"))
+    intercept[UnsupportedCypherException](
+      g.read("CALL db.labels() RETURN x"))
+  }
+
   test("repeated SET writes keep the store's lineage flat and visible " +
       "(ADVICE r10: per-write cache stacking grew state and lineage)") {
     val g = freshGraph

@@ -120,6 +120,49 @@ class IvfIndexSpec extends SparkSpec {
       CompactStats(0, 0, 0))
   }
 
+  test("a crashed swap is recovered: stranded aside cells restored, stale state cleared") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rec").toString
+    IvfIndex.build(vectors.where($"vec_id" % 3 === 0), dir, k = 8, iters = 2)
+    IvfIndex.append(spark, vectors.where($"vec_id" % 3 === 1), dir)
+    IvfIndex.append(spark, vectors.where($"vec_id" % 3 === 2), dir)
+    val probes = vectors.where($"vec_id" < 5)
+    val before = IvfIndex.probe(spark, dir, probes, nprobe = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    val cells = new java.io.File(s"$dir/cells")
+    val live = cells.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      .sortBy(_.getName)
+    assert(live.length >= 2, "fixture needs at least two populated cells")
+    // crash A: a cell was renamed aside and the staged rewrite never
+    // landed — the aside holds the ONLY copy of that cell's rows, and a
+    // leftover staging dir must not be cleared at its expense
+    val victim = live.head
+    val aside = new java.io.File(cells, s".old.${victim.getName}")
+    assert(victim.renameTo(aside))
+    val staging = new java.io.File(cells, ".compacting")
+    staging.mkdirs()
+    // crash B: the swap completed but the final aside-delete was lost —
+    // the live dir wins and the stale aside must be dropped
+    val victim2 = live.last
+    val staleAside = new java.io.File(cells, s".old.${victim2.getName}")
+    staleAside.mkdirs()
+    new java.io.FileOutputStream(
+      new java.io.File(staleAside, "part-stale.parquet")).close()
+
+    IvfIndex.compact(spark, dir, maxFilesPerCell = 2)
+
+    assert(new java.io.File(cells, victim.getName).exists(),
+      "crash-A cell was not restored from its aside copy")
+    assert(new java.io.File(cells, victim2.getName).exists())
+    assert(cells.listFiles().forall(f =>
+      !f.getName.startsWith(".old.") && f.getName != ".compacting"),
+      "recovery left aside/staging debris behind")
+    val after = IvfIndex.probe(spark, dir, probes, nprobe = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(after.nonEmpty && after == before)
+  }
+
   test("catalog q83 probes its persisted index through dynamic partition pruning") {
     // the catalog-path twin of the assertion below: the ORACLE row proves
     // q83's results; this proves the layout property on the exact plan the
