@@ -91,7 +91,13 @@ object StreamBench {
       q.stop()
       // drop the first 3 batches (bring-up: codegen, broadcast, state
       // store open) so "sustained" means steady state
-      val steady = progress.drop(3).filter(_.numInputRows > 0)
+      // durationMs is a Java map that may lack the key on a degenerate
+      // batch — a bare .get(...).toLong would NPE (null unboxing) and
+      // kill the run after the earlier configs already burned their 45 s,
+      // so keep only batches that report a trigger time (rows and
+      // durations must stay paired for the events/s division)
+      val steady = progress.drop(3).filter(p =>
+        p.numInputRows > 0 && p.durationMs.get("triggerExecution") != null)
       val trigMs = steady.map(_.durationMs.get("triggerExecution").toLong)
       val rows = steady.map(_.numInputRows).sum
       val eps = rows.toDouble * 1000 / math.max(trigMs.sum, 1L)

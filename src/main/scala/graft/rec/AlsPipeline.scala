@@ -50,7 +50,20 @@ object AlsPipeline {
     * factors are just data to the serving plan, which is what lets q125
     * hash-check this exact path against a DuckDB oracle with fixed
     * factor tables (the trained q37 face stays rows-only: ALS output is
-    * nondeterministic). */
+    * nondeterministic).
+    *
+    * Scale note — why the ITEM side carries the broadcast hint: item
+    * catalogs are the small, bounded dimension of a recommender (ml-10M:
+    * 10,681 items × rank 10 floats ≈ 0.5 MB; even a 10M-item catalog at
+    * rank 64 is ~2.5 GB of factors, which still fits a broadcast at a
+    * 1000-executor profile but sits at the edge). The USER side is the
+    * unbounded one and is never broadcast. If a deployment's item-factor
+    * table outgrows `spark.sql.autoBroadcastJoinThreshold` territory
+    * (rule of thumb: > a few GB serialized), drop the hint and let the
+    * item join shuffle — the plan degrades to a sort-merge join on
+    * item_id, which is correct and partition-parallel, just no longer
+    * map-side. PlanSpec pins the broadcast strategy at fixture scale so
+    * a silent hint regression is caught. */
   def scoreFactors(userFactors: DataFrame, itemFactors: DataFrame,
                    pairs: DataFrame): DataFrame =
     pairs

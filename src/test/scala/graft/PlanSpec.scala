@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ALS serving broadcasts the item-factor side, never the user side") {
+    // q125 runs AlsPipeline.serveTopK over fixed factor tables — the
+    // exact serving plan q37 runs. The item-factor join must be the
+    // broadcast (items are the bounded dimension; users are not): see
+    // the scoreFactors docstring for the size rationale and the
+    // degrade-to-shuffle guidance past a few GB of item factors.
+    val p = plan("q125_als_serve_fixed")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q125 item-factor join is not broadcast in:\n$p")
+  }
+
   test("selective predicates are pushed into the parquet scan") {
     // q04: o_custkey = 42 must reach the orders scan; q07: p_partkey = 100
     // must reach the part scan — a non-empty PushedFilters list.

@@ -358,12 +358,31 @@ class CypherCompatSpec extends SparkSpec {
     g.write("MATCH (u:User) SET u.Interest = 'v1'")
     g.write(s"MATCH (u:User{UserID:$anyUser}) SET u.Interest = 'v2'")
     val after2 = planNodes
-    (3 to 12).foreach(i =>
+    val persistedAfter2 = spark.sparkContext.getPersistentRDDs.size
+    // the reference's streaming loop issues one SET per user per batch
+    // (streaming_rec.py:101-104) — drive a long-lived-driver volume of
+    // writes, not a token dozen
+    (3 to 120).foreach(i =>
       g.write(s"MATCH (u:User{UserID:$anyUser}) SET u.Interest = 'v$i'"))
-    // the read plan over the store has the same node count after 12
+    // the read plan over the store has the same node count after 120
     // writes as after 2 — each write re-rooted the table at a leaf
     assert(planNodes == after2)
     assert(readBack.as[(Long, String)].collect().toSeq ==
-      Seq((anyUser, "v12")))
+      Seq((anyUser, "v120")))
+    // ...and the persisted-block population is bounded too: each swapIn
+    // unpersists the prior table and the ContextCleaner reclaims old
+    // checkpoint RDDs once unreferenced. The cleaner is async and
+    // GC-driven, so nudge it and poll rather than asserting instantly.
+    // A leak here is linear (118 extra entries); the bound is loose
+    // enough to never flake on cleaner timing.
+    val bound = persistedAfter2 + 12
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    while (persisted > bound && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(250)
+    }
+    assert(persisted <= bound,
+      s"$persisted persisted RDDs after 120 writes (baseline " +
+        s"$persistedAfter2 after 2): the write path is stacking state")
   }
 }
