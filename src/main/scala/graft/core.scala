@@ -94,18 +94,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses by default — read nanos as long and truncate to micros
-    * (matching DuckDB's ns→us cast), yielding a real TimestampType `ts`.
+  /** The events table has shipped with two `ts` physical types across
+    * fixture generations: TIMESTAMP(NANOS) (which Spark 4 refuses by
+    * default — read nanos as long and truncate to micros, matching
+    * DuckDB's ns→us cast) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark 4 infers as TIMESTAMP_NTZ — cast to TimestampType;
+    * the session timezone is pinned to UTC by every entrypoint, so the
+    * cast matches DuckDB's naive-as-UTC epoch() exactly). Branch on the
+    * loaded dtype so both generations yield the same micros-precision
+    * TimestampType `ts`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer division, NOT floor(ts/1000): `/` casts longs to double and
-    // 2024-era epoch nanos (~1.7e18) exceed double's 2^53 exact range —
-    // ~1.5% of rows land 1 µs off the oracle's exact ns→us cast.
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division, NOT floor(ts/1000): `/` casts longs to double
+        // and 2024-era epoch nanos (~1.7e18) exceed double's 2^53 exact
+        // range — ~1.5% of rows land 1 µs off the oracle's exact ns→us cast.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -54,16 +54,20 @@ object AlsPipeline {
     *
     * Scale note — why the ITEM side carries the broadcast hint: item
     * catalogs are the small, bounded dimension of a recommender (ml-10M:
-    * 10,681 items × rank 10 floats ≈ 0.5 MB; even a 10M-item catalog at
-    * rank 64 is ~2.5 GB of factors, which still fits a broadcast at a
-    * 1000-executor profile but sits at the edge). The USER side is the
-    * unbounded one and is never broadcast. If a deployment's item-factor
-    * table outgrows `spark.sql.autoBroadcastJoinThreshold` territory
-    * (rule of thumb: > a few GB serialized), drop the hint and let the
+    * 10,681 items × rank 10 floats ≈ 0.5 MB). The USER side is the
+    * unbounded one and is never broadcast. The practical broadcast
+    * comfort zone is well under 1 GB serialized: past that the driver's
+    * BroadcastExchange collect trips `spark.driver.maxResultSize` (1 GB
+    * default) and every executor pins a full copy on heap — a 10M-item
+    * catalog at rank 64 (~2.5 GB of factors) does NOT broadcast on
+    * default configs and would need maxResultSize plus driver/executor
+    * memory raised to even try. At that size, drop the hint and let the
     * item join shuffle — the plan degrades to a sort-merge join on
     * item_id, which is correct and partition-parallel, just no longer
-    * map-side. PlanSpec pins the broadcast strategy at fixture scale so
-    * a silent hint regression is caught. */
+    * map-side. PlanSpec pins the broadcast SIDE under
+    * autoBroadcastJoinThreshold=-1 (item join stays the only
+    * BroadcastHashJoin, user join degrades to SortMergeJoin), so both a
+    * dropped hint and a user-side broadcast fail the suite. */
   def scoreFactors(userFactors: DataFrame, itemFactors: DataFrame,
                    pairs: DataFrame): DataFrame =
     pairs

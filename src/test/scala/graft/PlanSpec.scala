@@ -64,9 +64,39 @@ class PlanSpec extends SparkSpec {
     // broadcast (items are the bounded dimension; users are not): see
     // the scoreFactors docstring for the size rationale and the
     // degrade-to-shuffle guidance past a few GB of item factors.
-    val p = plan("q125_als_serve_fixed")
-    assert(p.contains("BroadcastHashJoin"),
-      s"q125 item-factor join is not broadcast in:\n$p")
+    //
+    // Auto-broadcast is disabled for the plan build (SkewJoinSpec's
+    // idiom): at sf0.001 BOTH factor tables fit the 10 MB default, so
+    // with it on, a dropped broadcast(itemFactors) hint would still
+    // pass and a user-side broadcast could never fail. With -1, the
+    // ONLY BroadcastHashJoin left is the hinted one, and the
+    // user-factor join must have degraded to a shuffle join.
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q125_als_serve_fixed")
+      // Formatted-mode node detail blocks are blank-line separated.
+      // Assert by JOIN KEY, not by global count: the cached Ratings.view
+      // subtree embeds its own l_orderkey BroadcastHashJoins (planned
+      // earlier, with auto-broadcast still on) and formatted explain
+      // prints cached subtrees too.
+      def blocks(op: String): Seq[String] =
+        s"\\(\\d+\\) $op[\\s\\S]*?\\n\\n".r.findAllIn(p).toSeq
+      val bhj = blocks("BroadcastHashJoin")
+      assert(bhj.count(_.contains("Left keys [1]: [item_id")) == 1,
+        s"expected exactly one item_id-keyed BroadcastHashJoin (the " +
+          s"hinted item-factor join):\n$p")
+      assert(!bhj.exists(_.contains("Left keys [1]: [user_id")),
+        s"a user_id-keyed BroadcastHashJoin planned — the user side " +
+          s"must never broadcast:\n$p")
+      // the user-factor join (single-key user_id equi-join) must now be
+      // a SortMergeJoin — if it is missing, the user side got broadcast
+      val smj = blocks("SortMergeJoin")
+      assert(smj.exists(_.contains("Left keys [1]: [user_id")),
+        s"no user_id-keyed SortMergeJoin — the user-factor join did not " +
+          s"degrade to a shuffle join with auto-broadcast off:\n$p")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
   }
 
   test("selective predicates are pushed into the parquet scan") {

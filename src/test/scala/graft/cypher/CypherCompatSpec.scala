@@ -361,20 +361,24 @@ class CypherCompatSpec extends SparkSpec {
     val persistedAfter2 = spark.sparkContext.getPersistentRDDs.size
     // the reference's streaming loop issues one SET per user per batch
     // (streaming_rec.py:101-104) — drive a long-lived-driver volume of
-    // writes, not a token dozen
-    (3 to 120).foreach(i =>
+    // writes. 48 is enough: a leak here is LINEAR (one stacked cache
+    // entry / plan level per write), so 46 extra entries clears the +12
+    // bound by 4× — the same signal 120 gave at a third of the
+    // wall-clock (ADVICE r12: each write costs a re-root + checkpoint
+    // job, and the polling loop below bounds a worst case on top).
+    val writes = 48
+    (3 to writes).foreach(i =>
       g.write(s"MATCH (u:User{UserID:$anyUser}) SET u.Interest = 'v$i'"))
-    // the read plan over the store has the same node count after 120
+    // the read plan over the store has the same node count after 48
     // writes as after 2 — each write re-rooted the table at a leaf
     assert(planNodes == after2)
     assert(readBack.as[(Long, String)].collect().toSeq ==
-      Seq((anyUser, "v120")))
+      Seq((anyUser, s"v$writes")))
     // ...and the persisted-block population is bounded too: each swapIn
     // unpersists the prior table and the ContextCleaner reclaims old
     // checkpoint RDDs once unreferenced. The cleaner is async and
     // GC-driven, so nudge it and poll rather than asserting instantly.
-    // A leak here is linear (118 extra entries); the bound is loose
-    // enough to never flake on cleaner timing.
+    // The bound is loose enough to never flake on cleaner timing.
     val bound = persistedAfter2 + 12
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     def persisted = spark.sparkContext.getPersistentRDDs.size
@@ -382,7 +386,7 @@ class CypherCompatSpec extends SparkSpec {
       System.gc(); Thread.sleep(250)
     }
     assert(persisted <= bound,
-      s"$persisted persisted RDDs after 120 writes (baseline " +
+      s"$persisted persisted RDDs after $writes writes (baseline " +
         s"$persistedAfter2 after 2): the write path is stacking state")
   }
 }
