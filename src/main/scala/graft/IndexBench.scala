@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Index-maintenance bench: measures the problem `IndexMaintenance.
+  * compactCells` exists to solve (IndexMaintenance.scala:17-24's cost
+  * model — append promises no rewrite, so ~365 daily increments later
+  * probe latency is file-open overhead) and the fix, end to end on the
+  * fixture embeddings:
+  *
+  *   build(1/(N+1) of the corpus) → N frozen-quantizer appends →
+  *   [probe latency, data-file count] → compact → [probe latency,
+  *   data-file count] — probe equality is IvfIndexSpec's assertion;
+  *   this main reports the NUMBERS.
+  *
+  * Prints ONE JSON line. Probe latency is the median of `reps` full
+  * probe executions (assign → pruned cell scan → per-probe top-k,
+  * collect()ed), after one untimed warmup pass; medians because a
+  * shared host's load waves would dominate a single sample (the
+  * Bench.scala lesson).
+  */
+object IndexBench {
+
+  private def dataFiles(cellsDir: java.io.File): Int =
+    cellsDir.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cid="))
+      .map(_.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      .sum
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val increments = sys.env.getOrElse("SPARK_GRAFT_INDEX_INCREMENTS", "30").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_INDEX_REPS", "7").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .cache()
+    e.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bench").toString
+    val cells = new java.io.File(s"$dir/cells")
+    val total = e.count()
+    val sliceRows = (total + increments) / (increments + 1)
+
+    // day 0: build on the first CONTIGUOUS id range (contiguous, not a
+    // modulo stripe: ids arrive in order in the daily-increment story,
+    // and lloydKMeans' deterministic init seeds from the K lowest
+    // vec_ids — a stripe that skips them would collapse the quantizer);
+    // days 1..N: append-only increments under the frozen quantizer
+    // (the regime the compaction pass serves)
+    graft.rec.IvfIndex.build(
+      e.where(col("vec_id") < sliceRows), dir, k = 16, iters = 3)
+    (1 to increments).foreach(i => graft.rec.IvfIndex.append(
+      spark, e.where(col("vec_id") >= i * sliceRows &&
+        col("vec_id") < (i + 1) * sliceRows), dir))
+
+    val probes = e.where(col("vec_id") < 10)
+    def probeMedianMs(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.rec.IvfIndex.probe(spark, dir, probes, nprobe = 2, topK = 3)
+          .collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      once() // warmup: JIT + centroid read
+      val xs = Vector.fill(reps)(once()).sorted
+      xs(reps / 2)
+    }
+
+    val filesBefore = dataFiles(cells)
+    val msBefore = probeMedianMs()
+    val t0 = System.nanoTime()
+    val stats = graft.rec.IvfIndex.compact(spark, dir, maxFilesPerCell = 4)
+    val compactMs = (System.nanoTime() - t0) / 1e6
+    val filesAfter = dataFiles(cells)
+    val msAfter = probeMedianMs()
+
+    println(
+      s"""{"metric":"ivf_maintenance","sf_dir":"$sfDir","increments":$increments,""" +
+      s""""reps":$reps,"files_before":$filesBefore,"files_after":$filesAfter,""" +
+      s""""cells_compacted":${stats.cells_compacted},""" +
+      s""""probe_ms_before":${math.round(msBefore)},""" +
+      s""""probe_ms_after":${math.round(msAfter)},""" +
+      s""""compact_ms":${math.round(compactMs)}}""")
+    spark.stop()
+  }
+}

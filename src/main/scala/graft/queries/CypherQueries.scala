@@ -57,5 +57,68 @@ object CypherQueries {
             FROM (${graft.rec.Ratings.viewSql}) rv""")
   )
 
-  val all: Seq[Q] = Seq(cypherTriple, cypherStats)
+  /** Cold-start popularity recommendation (`src/cold_strategy/cold_rec.py:
+    * 57-65` `rec_for_new_user`): the reference's Cypher — aggregate in
+    * WITH, threshold in WHERE, re-MATCH the qualifying movies, AVG +
+    * ORDER BY — executed VERBATIM (threshold 25; the reference
+    * parameterizes it as `%d`). Post-processing rounds the average to
+    * 6dp and re-sorts (avg desc, movie_id) so tie order is
+    * deterministic for the hash compare — the reference's own ORDER BY
+    * avg_rating DESC leaves ties unordered, like SQL. */
+  val cypherColdStart = Q(
+    "q126_cypher_cold_start",
+    (s, d) => graft.cypher.MovieGraph(s, d)
+      .read("MATCH (User)-[r:Rate]->(m:Movie) " +
+        "WITH m, COUNT(r) AS cnt WHERE cnt > 25 " +
+        "MATCH (User)-[r:Rate]->(m) " +
+        "RETURN m.MovieID AS movie_id, AVG(r.Rating) AS avg_rating " +
+        "ORDER BY avg_rating DESC")
+      .select(col("movie_id"), round(col("avg_rating"), 6).as("avg_rating"))
+      .orderBy(col("avg_rating").desc, col("movie_id")),
+    Some(s"""WITH rv AS (${graft.rec.Ratings.viewSql}),
+            pop AS (SELECT item_id FROM rv GROUP BY 1 HAVING count(*) > 25)
+            SELECT item_id AS movie_id, round(avg(rating), 6) AS avg_rating
+            FROM rv JOIN pop USING (item_id)
+            GROUP BY 1 ORDER BY avg_rating DESC, movie_id""")
+  )
+
+  /** New-movie detection (`cold_rec.py:68-76` `get_new_movie`): movies
+    * with fewer than k ratings, via an ANONYMOUS node pattern + WITH
+    * aggregate + WHERE — verbatim at k=20. Integer counts, so
+    * membership is exact cross-engine; post-sorted for the hash. */
+  val cypherNewMovies = Q(
+    "q127_cypher_new_movies",
+    (s, d) => graft.cypher.MovieGraph(s, d)
+      .read("MATCH (:User)-[r:Rate]->(m:Movie) " +
+        "WITH m, COUNT(r) AS cnt WHERE cnt < 20 " +
+        "RETURN m.MovieID AS movie_id")
+      .orderBy(col("movie_id")),
+    Some(s"""WITH rv AS (${graft.rec.Ratings.viewSql})
+            SELECT item_id AS movie_id FROM rv GROUP BY 1
+            HAVING count(*) < 20 ORDER BY movie_id""")
+  )
+
+  /** The report's per-user console lookup (`doc/课程报告.md:567`,
+    * "movies rated by UserID 1") with WHOLE-VARIABLE returns: RETURN
+    * u, r, m renders every property of the matched nodes/edge under
+    * Neo4j-style dotted headers (`u.UserID`, `r.type`, `r.Rating`,
+    * `m.MovieID`, `m.Title`) — the connector's literal output schema,
+    * hash-compared column-for-column against DuckDB (dots are legal
+    * parquet field names; the driver sorts columns by name). */
+  val cypherUserLookup = Q(
+    "q128_cypher_user_lookup",
+    (s, d) => graft.cypher.MovieGraph(s, d)
+      .read("MATCH (u:User{UserID:1})-[r:Rate]->(m:Movie) RETURN u, r, m;")
+      .orderBy(col("`m.MovieID`")),
+    Some(s"""WITH rv AS (${graft.rec.Ratings.viewSql})
+            SELECT user_id AS "u.UserID", 'Rate' AS "r.type",
+                   rating AS "r.Rating", item_id AS "m.MovieID",
+                   p_name AS "m.Title"
+            FROM rv LEFT JOIN part ON rv.item_id = part.p_partkey
+            WHERE user_id = 1 ORDER BY "m.MovieID"""")
+  )
+
+  val all: Seq[Q] =
+    Seq(cypherTriple, cypherStats, cypherColdStart, cypherNewMovies,
+      cypherUserLookup)
 }
