@@ -35,7 +35,12 @@ import org.apache.spark.sql.SparkSession
   * query (delta between drained-bus snapshots around each action).
   * Task CPU time counts only cycles the query's own tasks burned, so
   * external load waves that stretch wall-clock leave it nearly
-  * untouched — it is the number to compare round over round. The
+  * untouched — it is the number to compare round over round. Task RUN
+  * time is NOT such an instrument (r11 measured same-code per-query
+  * ratios: cpu 1.09 median vs task 1.40 — run time absorbs
+  * host-descheduled wall inside a task); keep task_sec as a
+  * diagnostic, compare cpu_sec. The four-run r13 band and the flagging
+  * rule live in SURVEY §8.7. The
   * per-query `{wall, task_sec, cpu_sec}` triples go to a side FILE
   * (`SPARK_GRAFT_BENCH_DETAIL`, default
   * `/root/repo/bench_detail.json`): the driver keeps only a 2000-byte

@@ -133,4 +133,39 @@ class IoSpec extends SparkSpec {
     assert(spark.read.schema(src.schema).option("header", "true").csv(csvDir)
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq == want)
   }
+
+  test("Tables.events normalizes both fixture ts generations to micros " +
+      "TimestampType (nanos-as-long truncation ≡ native-timestamp cast)") {
+    // The driver has shipped the events fixture with two parquet ts
+    // physical types across rounds: TIMESTAMP(NANOS) (reads as long
+    // under nanosAsLong — the r12 generation) and TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ — the r13
+    // generation, which broke the long-only read path and with it every
+    // events query until Tables.events branched on the loaded dtype).
+    // Synthesize BOTH generations and pin: same TimestampType schema,
+    // same micro values, nanos truncated not rounded.
+    val base = Files.createTempDirectory("graft-events-gen")
+    val nanos = 1700000000123456789L // …789 ns residue: truncation-sensitive
+    val micros = nanos / 1000L
+    def row(ts: Long) =
+      Seq((1L, ts, 7L, "view", 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val nanosDir = base.resolve("nanos").toString
+    row(nanos).coalesce(1).write.mode("overwrite")
+      .parquet(s"$nanosDir/events.parquet")
+    val microsDir = base.resolve("micros").toString
+    row(micros)
+      .withColumn("ts", timestamp_micros($"ts").cast("timestamp_ntz"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$microsDir/events.parquet")
+
+    Seq(nanosDir, microsDir).foreach { d =>
+      val ev = graft.Tables.events(spark, d)
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"wrong ts dtype for $d")
+      assert(ev.select(unix_micros($"ts")).as[Long].head() == micros,
+        s"wrong micro value for $d")
+    }
+  }
 }
