@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Apply the SURVEY §8.7 cpu_sec regression rule between bench rounds
+(dev tool only; the engine itself is pure Scala/Spark).
+
+Usage: compare_bench.py <baseline_detail.json ...> -- <candidate_detail.json ...>
+
+Each file is a `graft.Bench` per-query detail dump
+(SPARK_GRAFT_BENCH_DETAIL): {"queries": {name: {wall, task_sec,
+cpu_sec}}, "total_cpu_sec": ...}. Baselines are the prior round's
+same-code runs (r13: BENCH_DETAIL_r13_{1a,1b,2a,2b}.json); candidates
+are the new round's runs.
+
+The rule (measured on the r13 four-run band — per-query same-code
+cpu_sec max/min spread median 1.23 / p90 1.82):
+
+- a query is FLAGGED only if its cpu_sec in EVERY candidate run
+  exceeds SPREAD (default 1.8) × its baseline max — anything inside
+  that band is indistinguishable from same-code measurement noise;
+- the catalog is FLAGGED if the min candidate total_cpu_sec exceeds
+  the max baseline total by more than TOTAL_PCT (default 15%);
+- wall and task_sec are printed for context only: wall swings ±22% on
+  this shared host with identical code, and task run time absorbs
+  host descheduling (r11: same-code median ratio 1.40 vs cpu's 1.09).
+
+Exit code 1 if anything is flagged, else 0.
+"""
+import json
+import sys
+
+SPREAD = 1.8
+TOTAL_PCT = 15.0
+MIN_CPU_SEC = 0.05  # sub-50ms queries are pure noise at this harness
+
+
+def load(paths):
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append((p, json.load(f)))
+    return runs
+
+
+def main(argv):
+    if "--" not in argv:
+        print(__doc__)
+        return 2
+    split = argv.index("--")
+    base = load(argv[:split])
+    cand = load(argv[split + 1:])
+    if not base or not cand:
+        print(__doc__)
+        return 2
+
+    names = set.intersection(
+        *(set(d["queries"]) for _, d in base + cand))
+    flagged = []
+    for q in sorted(names):
+        bmax = max(d["queries"][q]["cpu_sec"] for _, d in base)
+        if bmax < MIN_CPU_SEC:
+            continue
+        cmin = min(d["queries"][q]["cpu_sec"] for _, d in cand)
+        if cmin > SPREAD * bmax:
+            flagged.append((q, bmax, cmin))
+
+    btot = max(d["total_cpu_sec"] for _, d in base)
+    ctot = min(d["total_cpu_sec"] for _, d in cand)
+    tot_reg = (ctot - btot) / btot * 100.0
+
+    print(f"baseline runs: {len(base)}  candidate runs: {len(cand)}  "
+          f"common queries: {len(names)}")
+    print(f"total cpu_sec: baseline max {btot:.1f}  candidate min {ctot:.1f}  "
+          f"delta {tot_reg:+.1f}% (flag threshold +{TOTAL_PCT}%)")
+    for q, bmax, cmin in flagged:
+        print(f"FLAG {q}: cpu_sec {bmax:.2f} -> {cmin:.2f} "
+              f"(> {SPREAD}x in every candidate run)")
+    if not flagged:
+        print("no per-query cpu_sec regressions beyond the same-code band")
+    bad = bool(flagged) or tot_reg > TOTAL_PCT
+    if tot_reg > TOTAL_PCT:
+        print(f"FLAG catalog total cpu_sec regressed {tot_reg:+.1f}%")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
