@@ -1061,7 +1061,68 @@ object Similarity {
               ON x.probe_id = s.probe_id AND x.neighbor_id = s.neighbor_id""")
   )
 
+  /** 32-bit deterministic hash (md5-prefix), the cross-engine "uniform
+    * random" shared with the sampling family — see TextOps / OracleSql. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Cluster-balanced sampling — the SEMANTIC curation stage of a
+    * training-data pipeline (the SemDeDup / cluster-pruning family):
+    * over-representation in a web corpus is per-TOPIC, not per-source,
+    * so where q79/q105 balance the mixture by the `source` column, this
+    * balances it by the LEARNED semantic cells of q57's quantizer —
+    * assign every embedding to its Lloyd cell, then keep a
+    * deterministic uniform quota (5) per cell, ranked by the shared
+    * md5-prefix hash with vec_id tiebreak. Output carries each cell's
+    * pre-balance population, so the imbalance the stage corrects is
+    * visible in the result (cells span the full size skew of the
+    * corpus; every cell contributes exactly min(cell_n, 5) rows).
+    *
+    * 100 TB shape: the quantizer fits on a sample (q57's build note),
+    * assignment is one broadcast-scored scan, and the quota selection
+    * is the bounded [[graft.expr.TopKPairs]] aggregator — ≤ 5 pairs per
+    * task per cell reach the shuffle, never the cell population (q105's
+    * scale rule applied to semantic strata). */
+  val clusterBalance = Q(
+    "q129_cluster_balance",
+    (s, d) => {
+      import graft.rec.Clustering
+      val k = 5
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cent = Clustering.lloydKMeans(e, IvfK, IvfIters).cache()
+      val topk = graft.expr.TopKPairs.agg(k)
+      Clustering.assignCells(e, cent, nprobe = 1)
+        .select(col("cid"), col("vec_id"),
+          h32(concat(lit("cb"), col("vec_id").cast("string"))).as("hv"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("cell_n"),
+          topk((-col("hv")).cast("double"), col("vec_id")).as("top"))
+        .select(col("cid"), col("cell_n"),
+          posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("cid"), col("cell_n"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("p._2").as("vec_id"), (-col("p._1")).cast("long").as("hv"))
+        .orderBy(col("cid"), col("rank"))
+    },
+    Some(s"""$ivfCtes,
+            hv AS (SELECT cid, vec_id,
+              ${OracleSql.h32("'cb' || CAST(vec_id AS VARCHAR)")} AS hv
+              FROM idx),
+            cn AS (SELECT cid, CAST(count(*) AS BIGINT) AS cell_n
+                   FROM hv GROUP BY 1),
+            r AS (SELECT cid, vec_id, hv,
+                    row_number() OVER (PARTITION BY cid
+                      ORDER BY hv, vec_id) AS rank
+                  FROM hv)
+            SELECT r.cid, cn.cell_n, CAST(r.rank AS BIGINT) AS rank,
+                   r.vec_id, r.hv
+            FROM r JOIN cn USING (cid) WHERE rank <= 5
+            ORDER BY cid, rank""")
+  )
+
   val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn,
     lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup, pqAnn, pqRecall,
-    ivfPqAnn, ivfPqRecall, pqIndexProbe, ivfPqIndexProbe, sq8Ann, sq8Recall)
+    ivfPqAnn, ivfPqRecall, pqIndexProbe, ivfPqIndexProbe, sq8Ann, sq8Recall,
+    clusterBalance)
 }
