@@ -6,9 +6,8 @@ Usage: compare_bench.py <baseline_detail.json ...> -- <candidate_detail.json ...
 
 Each file is a `graft.Bench` per-query detail dump
 (SPARK_GRAFT_BENCH_DETAIL): {"queries": {name: {wall, task_sec,
-cpu_sec}}, "total_cpu_sec": ...}. Baselines are the prior round's
-same-code runs (r13: BENCH_DETAIL_r13_{1a,1b,2a,2b}.json); candidates
-are the new round's runs.
+cpu_sec}}, ...}. Baselines are the prior round's same-code runs (r13:
+BENCH_DETAIL_r13_final_{a,b}.json); candidates are the new round's.
 
 The rule (measured on the r13 four-run band — per-query same-code
 cpu_sec max/min spread median 1.23 / p90 1.82):
@@ -16,11 +15,18 @@ cpu_sec max/min spread median 1.23 / p90 1.82):
 - a query is FLAGGED only if its cpu_sec in EVERY candidate run
   exceeds SPREAD (default 1.8) × its baseline max — anything inside
   that band is indistinguishable from same-code measurement noise;
-- the catalog is FLAGGED if the min candidate total_cpu_sec exceeds
-  the max baseline total by more than TOTAL_PCT (default 15%);
-- wall and task_sec are printed for context only: wall swings ±22% on
-  this shared host with identical code, and task run time absorbs
-  host descheduling (r11: same-code median ratio 1.40 vs cpu's 1.09).
+- the catalog check sums cpu_sec over the COMMON-query intersection
+  on both sides (so catalog growth/shrink between rounds cannot read
+  as a regression) and flags if the min candidate common total
+  exceeds the max baseline common total by more than TOTAL_PCT
+  (default 15%);
+- queries present on only one side are LISTED, not silently skipped —
+  a query that crashed out of the candidate round would otherwise be
+  exactly the regression this tool stays quiet about;
+- wall and task_sec common totals are printed for context only: wall
+  swings ±22% on this shared host with identical code, and task run
+  time absorbs host descheduling (r11: same-code median ratio 1.40 vs
+  cpu's 1.09).
 
 Exit code 1 if anything is flagged, else 0.
 """
@@ -40,6 +46,11 @@ def load(paths):
     return runs
 
 
+def common_total(runs, names, metric, agg):
+    """agg(per-run sum of `metric` over `names`) across runs."""
+    return agg(sum(d["queries"][q][metric] for q in names) for _, d in runs)
+
+
 def main(argv):
     if "--" not in argv:
         print(__doc__)
@@ -51,8 +62,9 @@ def main(argv):
         print(__doc__)
         return 2
 
-    names = set.intersection(
-        *(set(d["queries"]) for _, d in base + cand))
+    bnames = set.intersection(*(set(d["queries"]) for _, d in base))
+    cnames = set.intersection(*(set(d["queries"]) for _, d in cand))
+    names = bnames & cnames
     flagged = []
     for q in sorted(names):
         bmax = max(d["queries"][q]["cpu_sec"] for _, d in base)
@@ -62,14 +74,24 @@ def main(argv):
         if cmin > SPREAD * bmax:
             flagged.append((q, bmax, cmin))
 
-    btot = max(d["total_cpu_sec"] for _, d in base)
-    ctot = min(d["total_cpu_sec"] for _, d in cand)
+    btot = common_total(base, names, "cpu_sec", max)
+    ctot = common_total(cand, names, "cpu_sec", min)
     tot_reg = (ctot - btot) / btot * 100.0
 
     print(f"baseline runs: {len(base)}  candidate runs: {len(cand)}  "
           f"common queries: {len(names)}")
-    print(f"total cpu_sec: baseline max {btot:.1f}  candidate min {ctot:.1f}  "
-          f"delta {tot_reg:+.1f}% (flag threshold +{TOTAL_PCT}%)")
+    for label, only in (("baseline-only", sorted(bnames - cnames)),
+                        ("candidate-only", sorted(cnames - bnames))):
+        if only:
+            print(f"NOT COMPARED ({label}, {len(only)}): {', '.join(only)}")
+    print(f"common-query cpu_sec total: baseline max {btot:.1f}  "
+          f"candidate min {ctot:.1f}  delta {tot_reg:+.1f}% "
+          f"(flag threshold +{TOTAL_PCT}%)")
+    for metric in ("wall", "task_sec"):
+        bm = common_total(base, names, metric, max)
+        cm = common_total(cand, names, metric, min)
+        print(f"  context {metric}: baseline max {bm:.1f}  "
+              f"candidate min {cm:.1f} (not gated)")
     for q, bmax, cmin in flagged:
         print(f"FLAG {q}: cpu_sec {bmax:.2f} -> {cmin:.2f} "
               f"(> {SPREAD}x in every candidate run)")
@@ -77,7 +99,7 @@ def main(argv):
         print("no per-query cpu_sec regressions beyond the same-code band")
     bad = bool(flagged) or tot_reg > TOTAL_PCT
     if tot_reg > TOTAL_PCT:
-        print(f"FLAG catalog total cpu_sec regressed {tot_reg:+.1f}%")
+        print(f"FLAG common-query cpu_sec total regressed {tot_reg:+.1f}%")
     return 1 if bad else 0
 
 

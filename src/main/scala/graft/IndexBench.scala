@@ -45,10 +45,9 @@ object IndexBench {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .cache()
-    e.count()
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bench").toString
     val cells = new java.io.File(s"$dir/cells")
-    val total = e.count()
+    val total = e.count() // one action: materializes the cache AND counts
     val sliceRows = (total + increments) / (increments + 1)
 
     // day 0: build on the first CONTIGUOUS id range (contiguous, not a
@@ -73,7 +72,9 @@ object IndexBench {
       }
       once() // warmup: JIT + centroid read
       val xs = Vector.fill(reps)(once()).sorted
-      xs(reps / 2)
+      // true median for even rep counts too (the env knob allows them)
+      if (reps % 2 == 1) xs(reps / 2)
+      else (xs(reps / 2 - 1) + xs(reps / 2)) / 2.0
     }
 
     val filesBefore = dataFiles(cells)

@@ -1061,10 +1061,9 @@ object Similarity {
               ON x.probe_id = s.probe_id AND x.neighbor_id = s.neighbor_id""")
   )
 
-  /** 32-bit deterministic hash (md5-prefix), the cross-engine "uniform
-    * random" shared with the sampling family — see TextOps / OracleSql. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** 32-bit md5-prefix hash, the cross-engine "uniform random" shared
+    * with the sampling family (single definition: [[OracleSql.h32]]). */
+  private def h32(c: Column): Column = OracleSql.h32(c)
 
   /** Cluster-balanced sampling — the SEMANTIC curation stage of a
     * training-data pipeline (the SemDeDup / cluster-pruning family):

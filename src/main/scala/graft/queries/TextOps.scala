@@ -34,9 +34,9 @@ object TextOps {
 
   // ---- shared deterministic hashing ------------------------------------
 
-  /** 32-bit string hash from the md5 hex prefix — Spark side. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** 32-bit md5-prefix hash, Spark side (single shared definition —
+    * see [[OracleSql.h32]]). */
+  private def h32(c: Column): Column = OracleSql.h32(c)
 
   /** Same 32-bit hash — DuckDB side (shared, see [[OracleSql.h32]]). */
   private def h32Sql(s: String): String = OracleSql.h32(s)
