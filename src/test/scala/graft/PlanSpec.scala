@@ -141,6 +141,18 @@ class PlanSpec extends SparkSpec {
       s"q95's top-k is not a typed partial aggregate:\n$p")
   }
 
+  test("q129 per-cell quota selects with bounded state — no per-cell window sort") {
+    // The curation stage's scale contract (q105's rule on semantic
+    // strata): the quota draw is the bounded TopKPairs partial
+    // aggregate — ≤ quota pairs per task per cell reach the shuffle —
+    // never a row_number window that sorts a whole cell's population
+    // inside one task.
+    val p = plan("q129_cluster_balance")
+    assert(!p.contains("Window"), s"q129 regressed to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q129's quota draw is not a typed partial aggregate:\n$p")
+  }
+
   test("q98 CMS builds as one bounded partial aggregate — no window, no join") {
     // The d×w table must come from a single ObjectHashAggregate pass
     // over the token stream (merge = elementwise add); candidate
