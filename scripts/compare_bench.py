@@ -68,13 +68,28 @@ def main(argv):
     flagged = []
     for q in sorted(names):
         bmax = max(d["queries"][q]["cpu_sec"] for _, d in base)
-        if bmax < MIN_CPU_SEC:
-            continue
         cmin = min(d["queries"][q]["cpu_sec"] for _, d in cand)
-        if cmin > SPREAD * bmax:
+        # sub-50ms on BOTH sides is pure harness noise; but a sub-50ms
+        # baseline with a large candidate is exactly a regression, so
+        # gate against max(bmax, MIN_CPU_SEC) instead of skipping
+        if bmax < MIN_CPU_SEC and cmin < MIN_CPU_SEC:
+            continue
+        if cmin > SPREAD * max(bmax, MIN_CPU_SEC):
             flagged.append((q, bmax, cmin))
 
     btot = common_total(base, names, "cpu_sec", max)
+    if not names or btot == 0:
+        # disjoint catalogs (e.g. a rename) — the missing-query report IS
+        # the diagnostic; a bare ZeroDivisionError would bury it
+        print(f"no comparable queries: baseline runs {len(base)}, "
+              f"candidate runs {len(cand)}, common {len(names)}, "
+              f"baseline cpu total {btot}")
+        for label, only in (("baseline-only", sorted(bnames - cnames)),
+                            ("candidate-only", sorted(cnames - bnames))):
+            if only:
+                print(f"NOT COMPARED ({label}, {len(only)}): "
+                      f"{', '.join(only)}")
+        return 2
     ctot = common_total(cand, names, "cpu_sec", min)
     tot_reg = (ctot - btot) / btot * 100.0
 

@@ -64,7 +64,16 @@ object CypherQueries {
     * parameterizes it as `%d`). Post-processing rounds the average to
     * 6dp and re-sorts (avg desc, movie_id) so tie order is
     * deterministic for the hash compare — the reference's own ORDER BY
-    * avg_rating DESC leaves ties unordered, like SQL. */
+    * avg_rating DESC leaves ties unordered, like SQL.
+    *
+    * Accepted float risk (ADVICE r13): the hashed value is AVG over
+    * per-movie sets of ratings that are themselves ratios of integers
+    * (sum/count, not always dyadic), so the summation order of the 6dp
+    * rounding input is engine-dependent; a movie average within ~1 ulp
+    * of a 5e-7 boundary could in principle flip the hash. Same accepted
+    * class as raw-cosine ordering; the string stays verbatim, so the
+    * exact-integer-base rewrite the policy prefers is not available
+    * inside the Cypher path. Green at all three fixture scales. */
   val cypherColdStart = Q(
     "q126_cypher_cold_start",
     (s, d) => graft.cypher.MovieGraph(s, d)
