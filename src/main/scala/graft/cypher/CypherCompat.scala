@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   *    (`recommend.py:89-91`, `distributed.py:282-284`)
   *  - edge DELETE (`streaming_rec.py:119`)
   *  - the report's console queries (`doc/课程报告.md:559-637`): path
-  *    binding `p=()-[Rate]->()` with LIMIT, whole-variable
+  *    binding `p=()-[Rate]->()` with LIMIT (without ORDER BY the
+  *    engine defines the sample deterministically — see the RETURN
+  *    executor — so the console sample is reproducible, q130),
+  *    whole-variable
   *    `RETURN u, r, m` (rendered as the connector flattens graph
   *    objects — one `v.Prop` column per property), non-key property
   *    filters `{Title:'…'}`, and global `COUNT(v)` / `AVG(r.Rating)`
@@ -615,8 +618,24 @@ final class CypherGraph(
         }
       case ReturnC(items, orderBy, limit) =>
         val projected = project(env, items, terminal = true).df.get
-        val ordered = orderBy.foldLeft(projected) { case (d, (a, desc)) =>
-          d.orderBy(if (desc) col(a).desc else col(a).asc)
+        val ordered = (orderBy, limit) match {
+          case (Some((a, desc)), _) =>
+            projected.orderBy(if (desc) col(a).desc else col(a).asc)
+          case (None, Some(_)) =>
+            // Engine semantics decision: Cypher's LIMIT without ORDER BY
+            // returns "arbitrary" rows — Neo4j in practice yields store
+            // (insertion) order, which for a batch-loaded graph is the
+            // load file's key order. We DEFINE the sample as the first n
+            // rows in lexicographic order of the rendered columns (for
+            // an edge/path scan that is (src, dst, …) = insertion order
+            // of the sorted ratings file), making the console sample
+            // reproducible and therefore oracle-checkable (q130).
+            // Catalyst compiles sort+limit to TakeOrderedAndProject — a
+            // per-partition top-n plus a driver merge of n-row partials,
+            // never a global sort, so determinism costs O(n) per task.
+            projected.orderBy(
+              projected.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          case (None, None) => projected
         }
         result = Some(limit.foldLeft(ordered)((d, n) => d.limit(n)))
       case other => sys.error(s"write clause in read(): $other")

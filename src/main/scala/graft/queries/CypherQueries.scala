@@ -127,7 +127,35 @@ object CypherQueries {
             WHERE user_id = 1 ORDER BY "m.MovieID"""")
   )
 
+  /** The report's 300-edge console visualization sample
+    * (`doc/课程报告.md:559`): `MATCH p=()-[Rate]->() RETURN p LIMIT 300`
+    * executed VERBATIM — path binding over an untyped-variable edge
+    * pattern, whole-path RETURN (rendered `p.src`/`p.dst`/`p.type` +
+    * edge properties, the connector's flattening), and a LIMIT with no
+    * ORDER BY. Cypher leaves that sample arbitrary; the engine DEFINES
+    * it as the first 300 rows in rendered-column lexicographic order
+    * (= (src, dst) = the batch load's insertion order — what Neo4j's
+    * console shows in practice), which is what makes a sampling console
+    * query hash-gateable at all. The selection is decided by exact
+    * integer keys and the carried Rating is an exact integer ratio
+    * (sum of integer-valued doubles / count, one deterministic
+    * rounding), so the row set and values are cross-engine exact. The
+    * post-Cypher orderBy only fixes output ROW order for the hash —
+    * membership is decided inside the engine's documented LIMIT
+    * semantics, and stays outside the verbatim string (r13 watch-item).
+    */
+  val cypherPathSample = Q(
+    "q130_cypher_path_sample",
+    (s, d) => graft.cypher.MovieGraph(s, d)
+      .read("MATCH p=()-[Rate]->() RETURN p LIMIT 300;")
+      .orderBy(col("`p.src`"), col("`p.dst`")),
+    Some(s"""WITH rv AS (${graft.rec.Ratings.viewSql})
+            SELECT user_id AS "p.src", item_id AS "p.dst",
+                   'Rate' AS "p.type", rating AS "p.Rating"
+            FROM rv ORDER BY user_id, item_id LIMIT 300""")
+  )
+
   val all: Seq[Q] =
     Seq(cypherTriple, cypherStats, cypherColdStart, cypherNewMovies,
-      cypherUserLookup)
+      cypherUserLookup, cypherPathSample)
 }

@@ -217,4 +217,15 @@ class PlanSpec extends SparkSpec {
         s"$name does not plan a TakeOrderedAndProject:\n$p")
     }
   }
+
+  test("q130 deterministic Cypher LIMIT is a top-k, not a global sort") {
+    // The engine's LIMIT-without-ORDER-BY determinism (CypherCompat's
+    // RETURN executor) is implemented as sort+limit; Catalyst must fuse
+    // that into TakeOrderedAndProject — per-partition top-300 and an
+    // n-row driver merge — or the console sample would globally sort
+    // the whole edge table at 100 TB just to show 300 rows.
+    val p = plan("q130_cypher_path_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q130 does not plan a TakeOrderedAndProject:\n$p")
+  }
 }

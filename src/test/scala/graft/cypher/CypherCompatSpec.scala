@@ -200,6 +200,14 @@ class CypherCompatSpec extends SparkSpec {
     assert(rows.forall { case (s2, d2, t, r) =>
       t == "Rate" && all.contains((s2, d2, r))
     })
+    // the engine's documented LIMIT-without-ORDER-BY semantics (q130):
+    // the sample is the first n rows in rendered-column lexicographic
+    // order = (src, dst) insertion order — deterministic, not arbitrary
+    val want = ratings.select($"user_id", $"item_id", $"rating")
+      .orderBy($"user_id", $"item_id").limit(300)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.sortBy(r => (r._1, r._2))
+      .map(r => (r._1, r._2, r._4)).toSeq == want)
   }
 
   test("report console queries: whole-variable RETURN u, r, m renders " +
