@@ -52,16 +52,16 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("cms_stream").start()
     val batch1 = Seq("alpha", "beta", "alpha")
     val batch2 = Seq("gamma", "alpha", "beta")
-    in.addData(batch1: _*)
-    q.processAllAvailable()
-    in.addData(batch2: _*)
-    q.processAllAvailable()
+    val batch3 = Seq("delta", "gamma", "alpha")
+    Seq(batch1, batch2, batch3).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
     q.stop()
     val streamed = spark.table("cms_stream").as[Seq[Long]].head()
-    val batch = (batch1 ++ batch2).toDF("t")
+    val batch = (batch1 ++ batch2 ++ batch3).toDF("t")
       .selectExpr(s"cms_4x256($cellsExpr) AS cells").as[Seq[Long]].head()
     assert(streamed == batch)
-    assert(streamed.sum == 6L * D) // one increment per row per hash row
+    assert(streamed.sum == 9L * D) // one increment per row per hash row
   }
 
   test("streaming exact dedup: a duplicate arriving batches later emits once") {
@@ -106,18 +106,18 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("bloom_stream").start()
     val batch1 = Seq("alpha beta gamma", "delta epsilon zeta")
     val batch2 = Seq("eta theta iota", "alpha beta gamma")
-    in.addData(batch1: _*)
-    q.processAllAvailable()
-    in.addData(batch2: _*)
-    q.processAllAvailable()
+    val batch3 = Seq("kappa lambda mu", "eta theta iota")
+    Seq(batch1, batch2, batch3).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
     q.stop()
     val streamed = spark.table("bloom_stream").as[Seq[Long]].head()
-    val batch = (batch1 ++ batch2).toDF("t")
+    val batch = (batch1 ++ batch2 ++ batch3).toDF("t")
       .selectExpr(s"bloom_2048($posExpr) AS bits").as[Seq[Long]].head()
     assert(streamed == batch)
     assert(streamed.exists(_ != 0L), "filter stayed empty")
     // one-sided: every inserted element's k positions are set
-    val probes = (batch1 ++ batch2).distinct.toDF("t")
+    val probes = (batch1 ++ batch2 ++ batch3).distinct.toDF("t")
       .selectExpr(s"$posExpr AS ps").as[Seq[Long]].collect()
     probes.foreach { ps =>
       ps.foreach { p =>
@@ -147,16 +147,49 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("hll_stream").start()
     val batch1 = (1 to 40).map(i => s"u$i")
     val batch2 = (21 to 60).map(i => s"u$i") // overlaps batch1
-    in.addData(batch1: _*)
-    q.processAllAvailable()
-    in.addData(batch2: _*)
-    q.processAllAvailable()
+    val batch3 = (41 to 90).map(i => s"u$i") // overlaps batch2
+    Seq(batch1, batch2, batch3).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
     q.stop()
     val streamed = spark.table("hll_stream").as[Seq[Long]].head()
-    val batch = (batch1 ++ batch2).toDF("t")
+    val batch = (batch1 ++ batch2 ++ batch3).toDF("t")
       .selectExpr(s"hll_64($enc) AS regs").as[Seq[Long]].head()
     assert(streamed == batch)
     assert(streamed.exists(_ > 0L), "registers stayed empty")
+  }
+
+  test("streaming KMV: the k-min set merges across micro-batches and equals batch") {
+    // q77's KMV synopsis as a streaming aggregate — the LAST of the
+    // bounded-state synopsis family to get its streaming face (CMS:
+    // elementwise add, Bloom: elementwise OR, HLL: elementwise max,
+    // KMV: two-pointer k-min merge + cut): the state store holds one
+    // sorted ≤k array per group and each micro-batch merges into it,
+    // so a stream-built k-min set is ELEMENT-identical to the
+    // batch-built one over the same inputs — and therefore yields the
+    // identical (k-1)·2³²/kth distinct estimate q77 computes.
+    implicit val sc = spark.sqlContext
+    graft.expr.GraftFunctions.register(spark)
+    val hExpr = "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    val in = MemoryStream[String]
+    val sk = in.toDF().withColumnRenamed("value", "t")
+      .selectExpr(s"kmin_distinct64($hExpr) AS mins")
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream").start()
+    val batch1 = (1 to 50).map(i => s"u$i")
+    val batch2 = (26 to 75).map(i => s"u$i")  // overlaps batch1
+    val batch3 = (60 to 120).map(i => s"u$i") // overlaps batch2; crosses k
+    Seq(batch1, batch2, batch3).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("kmv_stream").as[Seq[Long]].head()
+    val batch = (batch1 ++ batch2 ++ batch3).toDF("t")
+      .selectExpr(s"kmin_distinct64($hExpr) AS mins").as[Seq[Long]].head()
+    assert(streamed == batch)
+    // 120 distinct elements saturate k=64, so the cut-at-k and the
+    // duplicate-absorbing insert were both exercised, sorted invariant
+    assert(streamed.length == 64 && streamed == streamed.sorted)
   }
 
   test("ST3 event parse matches the reference golden table") {
