@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Apply the SURVEY §8.7 spread-band regression rule to the AUXILIARY
+benches (dev tool only; the engine itself is pure Scala/Spark).
+
+compare_bench.py reads `graft.Bench` per-query detail files;
+STREAMBENCH_r{N}_*.json (`graft.StreamBench`) and
+INDEXBENCH_r{N}_*.json (`graft.IndexBench`) lines were compared by
+hand until r13 (VERDICT r13 item 5). This sibling applies the same
+logic to them:
+
+Usage: compare_aux_bench.py <baseline.json ...> -- <candidate.json ...>
+
+File type is auto-detected from the "metric" field:
+  - "stream_bench": per-config `events_per_sec` (HIGHER is better;
+    also compares batch_ms_p50 lower-better as context). Sweep files
+    (configs keyed like `serve_evict@40000`) compare per key, so a
+    rate-sweep candidate is only compared on configs the baseline ran.
+  - "ivf_maintenance": `probe_ms_before`, `probe_ms_after`,
+    `compact_ms` (LOWER is better); file counts are printed as
+    context (layout facts, not timings).
+
+The band is the one the r13 four-run Bench pairs measured (per-query
+same-code spread p90 1.82): a metric is FLAGGED only when EVERY
+candidate run is worse than SPREAD (1.8) × the best baseline run
+(for lower-better; baseline-best/SPREAD for higher-better) — one bad
+run on a shared host is noise, all runs bad is a regression.
+
+Exit 1 if anything flagged, 2 on unusable input, else 0.
+"""
+import json
+import sys
+
+SPREAD = 1.8
+
+
+def load(paths):
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append((p, json.load(f)))
+    return runs
+
+
+def metrics(doc):
+    """-> {name: (value, higher_is_better)} plus context strings."""
+    kind = doc.get("metric")
+    out, ctx = {}, []
+    if kind == "stream_bench":
+        for cfg, d in doc.get("configs", {}).items():
+            out[f"{cfg}.events_per_sec"] = (float(d["events_per_sec"]), True)
+            out[f"{cfg}.batch_ms_p50"] = (float(d["batch_ms_p50"]), False)
+            ctx.append(f"{cfg}: state_rows={d.get('state_rows_final')}")
+    elif kind == "ivf_maintenance":
+        for k in ("probe_ms_before", "probe_ms_after", "compact_ms"):
+            out[k] = (float(doc[k]), False)
+        ctx.append(f"files {doc.get('files_before')} -> "
+                   f"{doc.get('files_after')} "
+                   f"(cells {doc.get('cells_compacted')})")
+    else:
+        raise ValueError(f"unknown metric kind: {kind!r}")
+    return out, ctx
+
+
+def main(argv):
+    if "--" not in argv:
+        print(__doc__)
+        return 2
+    split = argv.index("--")
+    base = load(argv[:split])
+    cand = load(argv[split + 1:])
+    if not base or not cand:
+        print(__doc__)
+        return 2
+    try:
+        bm = [(p, metrics(d)) for p, d in base]
+        cm = [(p, metrics(d)) for p, d in cand]
+    except ValueError as e:
+        print(e)
+        return 2
+
+    bnames = set.intersection(*(set(m) for _, (m, _) in bm))
+    cnames = set.intersection(*(set(m) for _, (m, _) in cm))
+    names = sorted(bnames & cnames)
+    print(f"baseline runs: {len(bm)}  candidate runs: {len(cm)}  "
+          f"common metrics: {len(names)}")
+    for label, only in (("baseline-only", sorted(bnames - cnames)),
+                        ("candidate-only", sorted(cnames - bnames))):
+        if only:
+            print(f"NOT COMPARED ({label}, {len(only)}): {', '.join(only)}")
+    if not names:
+        print("no comparable metrics")
+        return 2
+
+    flagged = []
+    for n in names:
+        hib = bm[0][1][0][n][1]
+        bvals = [m[n][0] for _, (m, _) in bm]
+        cvals = [m[n][0] for _, (m, _) in cm]
+        if hib:
+            best = max(bvals)
+            bad = max(cvals) < best / SPREAD
+            arrow = f"{best:.1f} -> {max(cvals):.1f} (best runs)"
+        else:
+            best = min(bvals)
+            bad = min(cvals) > SPREAD * max(best, 1.0)
+            arrow = f"{best:.1f} -> {min(cvals):.1f} (best runs)"
+        marker = "FLAG" if bad else "  ok"
+        print(f"{marker} {n}: {arrow}")
+        if bad:
+            flagged.append(n)
+    for _, (_, ctx) in bm[:1] + cm[:1]:
+        for c in ctx:
+            print(f"  context: {c}")
+    if flagged:
+        print(f"FLAGGED ({len(flagged)}): {', '.join(flagged)}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
