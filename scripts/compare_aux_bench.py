@@ -18,6 +18,11 @@ File type is auto-detected from the "metric" field:
   - "ivf_maintenance": `probe_ms_before`, `probe_ms_after`,
     `compact_ms` (LOWER is better); file counts are printed as
     context (layout facts, not timings).
+  - "scale_bench" (`graft.ScaleBench`): per-query `cpu_sec_{N}x` and
+    `cpu_ratio`, per-index `probe_ms_{N}x` (LOWER is better); the
+    in-file superlinear flag list is printed as context. Comparable
+    only across runs with the same tile count (the metric NAMES carry
+    N, so mismatched-N runs simply share no metrics and exit 2).
 
 The band is the one the r13 four-run Bench pairs measured (per-query
 same-code spread p90 1.82): a metric is FLAGGED only when EVERY
@@ -56,6 +61,16 @@ def metrics(doc):
         ctx.append(f"files {doc.get('files_before')} -> "
                    f"{doc.get('files_after')} "
                    f"(cells {doc.get('cells_compacted')})")
+    elif kind == "scale_bench":
+        t = doc.get("tiles")
+        for q, d in doc.get("queries", {}).items():
+            out[f"{q}.cpu_sec_{t}x"] = (float(d[f"cpu_sec_{t}x"]), False)
+            out[f"{q}.cpu_ratio"] = (float(d["cpu_ratio"]), False)
+        for k, d in doc.get("index_probes", {}).items():
+            out[f"{k}.probe_ms_{t}x"] = (float(d[f"probe_ms_{t}x"]), False)
+        ctx.append(f"superlinear_flagged={doc.get('superlinear_flagged')}")
+        ctx.append(f"heap_after_gc_mb_{t}x="
+                   f"{doc.get(f'heap_after_gc_mb_{t}x')}")
     else:
         raise ValueError(f"unknown metric kind: {kind!r}")
     return out, ctx

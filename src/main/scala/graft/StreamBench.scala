@@ -29,6 +29,21 @@ import graft.stream.{RatingEvent, StreamOps}
   * watermark advances in real time and a 10 s idle horizon evicts
   * within the run. Output: ONE JSON line (stdout + stderr, Bench's
   * convention); the committed `STREAMBENCH_r{N}.json` is this line.
+  *
+  * CEILING SWEEP (VERDICT r13 item 2): the single-rate run only ever
+  * confirmed "≥ offered" — it never saturated. Setting
+  * `SPARK_GRAFT_STREAM_RATES=40000,80000,160000` switches to sweep
+  * mode: at each offered rate the two headline configs run
+  * (`state_evict` — state path alone; `serve_evict` — state + per-batch
+  * cosine top-N serve), keyed `label@rate` in the output (the key shape
+  * `compare_aux_bench.py` matches per-config, so a sweep candidate is
+  * only compared on configs a baseline ran). Each entry reports
+  * `sustained` = events/s ≥ 0.9 × offered; the ceiling is the largest
+  * offered rate still sustained, and comparing the two configs at the
+  * first unsustained rate names the bottleneck (state path vs cosine
+  * serve). The rate source trivially outruns the pipeline, so an
+  * unsustained config shows up as trigger backlog: events/s plateaus
+  * at the pipeline's capacity while batches grow.
   */
 object StreamBench {
 
@@ -55,7 +70,7 @@ object StreamBench {
     val nItems = items.count()
     val dim = items.select(size(col("features"))).as[Int].head()
 
-    def events() = {
+    def events(rate: Int) = {
       spark.readStream.format("rate")
         .option("rowsPerSecond", rate)
         .option("numPartitions", cpus)
@@ -71,9 +86,9 @@ object StreamBench {
     }
 
     def run(label: String, idle: Option[java.time.Duration],
-            serve: Boolean): String = {
+            serve: Boolean, rate: Int): String = {
       val interests = StreamOps.interestStream(
-        StreamOps.enrich(events(), items), dim, idleTimeout = idle)
+        StreamOps.enrich(events(rate), items), dim, idleTimeout = idle)
       val writer =
         if (serve)
           interests.writeStream.outputMode("append")
@@ -105,7 +120,8 @@ object StreamBench {
       def p50 = if (sorted.isEmpty) 0L else sorted(sorted.size / 2)
       val st = progress.lastOption.flatMap(_.stateOperators.headOption)
       def r1(v: Double) = "%.1f".format(v)
-      s""""$label":{"events_per_sec":${r1(eps)},"batches":${steady.size},""" +
+      s""""$label":{"offered":$rate,"events_per_sec":${r1(eps)},""" +
+        s""""sustained":${eps >= 0.9 * rate},"batches":${steady.size},""" +
         s""""batch_ms_p50":$p50,"batch_ms_max":${sorted.lastOption.getOrElse(0L)},""" +
         s""""state_rows_final":${st.map(_.numRowsTotal).getOrElse(-1L)},""" +
         s""""state_mem_mb":${r1(st.map(_.memoryUsedBytes).getOrElse(0L) / 1048576.0)},""" +
@@ -113,12 +129,24 @@ object StreamBench {
     }
 
     val idle = Some(java.time.Duration.ofSeconds(10))
-    val parts = Seq(
-      run("state_noevict", None, serve = false),
-      run("state_evict", idle, serve = false),
-      run("serve_evict", idle, serve = true))
+    // sweep mode: SPARK_GRAFT_STREAM_RATES=40000,80000,160000 runs the
+    // two headline configs at each offered rate (see object doc);
+    // default mode is the r11-compatible three-config single-rate run
+    val sweep = sys.env.get("SPARK_GRAFT_STREAM_RATES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+    val parts = sweep match {
+      case Some(rs) => rs.flatMap(r => Seq(
+        run(s"state_evict@$r", idle, serve = false, r),
+        run(s"serve_evict@$r", idle, serve = true, r)))
+      case None => Seq(
+        run("state_noevict", None, serve = false, rate),
+        run("state_evict", idle, serve = false, rate),
+        run("serve_evict", idle, serve = true, rate))
+    }
+    val ratesJson = sweep.getOrElse(Seq(rate)).mkString("[", ",", "]")
     val line = parts.mkString(
-      s"""{"metric":"stream_bench","rate_rows_per_sec":$rate,"secs_per_config":$secs,""" +
+      s"""{"metric":"stream_bench","rate_rows_per_sec":$rate,"rates":$ratesJson,""" +
+        s""""secs_per_config":$secs,""" +
         s""""rotate_events":$rotate,"items":$nItems,"dim":$dim,"configs":{""",
       ",", s"""},"sf":"$sfDir"}""")
     println(line)

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the [[ScaleBench]] tiler's invariants — the scale-stress bench's
+  * conclusions are only as good as the tiled data's fidelity to "the
+  * same workload, N× bigger":
+  *
+  *  - key-offset copies are exact: stripping copy i's offset yields the
+  *    source rows, and copies' key ranges are disjoint (so joins on the
+  *    offset keys match only within a copy);
+  *  - the derived ratings fact grows exactly N× with per-user degree
+  *    PRESERVED (the q32 skew bound must not move under tiling);
+  *  - document rotation is a char bijection: rotating copy i's text
+  *    back yields the source text exactly (so each copy's within-corpus
+  *    similarity structure is the source's), while copy i≥1 text
+  *    differs from the source (so cross-copy shingles don't collide by
+  *    identity).
+  */
+class ScaleTilerSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("tile: N× rows, disjoint offset ranges, copies exact mod offset") {
+    val src = Tables.orders(spark, sf)
+    val d = tmp("graft-tilespec")
+    ScaleBench.tile(spark, src, s"$d/orders.parquet", 3,
+      Seq("o_orderkey", "o_custkey"))
+    val tiled = spark.read.parquet(s"$d/orders.parquet")
+    assert(tiled.count() == 3 * src.count())
+    val okMax = src.agg(max(col("o_orderkey"))).head().getAs[Number](0).longValue + 1
+    val ckMax = src.agg(max(col("o_custkey"))).head().getAs[Number](0).longValue + 1
+    // copy 1 stripped of its offsets == source, column for column
+    val copy1 = tiled.where(col("o_orderkey") >= okMax && col("o_orderkey") < 2 * okMax)
+      .withColumn("o_orderkey",
+        (col("o_orderkey") - okMax).cast(src.schema("o_orderkey").dataType))
+      .withColumn("o_custkey",
+        (col("o_custkey") - ckMax).cast(src.schema("o_custkey").dataType))
+      .select(src.columns.map(col).toSeq: _*)
+    assert(copy1.count() == src.count())
+    assert(copy1.exceptAll(src.select(src.columns.map(col).toSeq: _*)).count() == 0)
+    // custkey ranges disjoint per copy
+    assert(tiled.where(col("o_custkey") >= 3 * ckMax).count() == 0)
+  }
+
+  test("tiled ratings fact: exactly N× rows, per-user degree preserved") {
+    val d = tmp("graft-tilespec-r")
+    ScaleBench.tile(spark, Tables.lineitem(spark, sf),
+      s"$d/lineitem.parquet", 3, Seq("l_orderkey"))
+    ScaleBench.tile(spark, Tables.orders(spark, sf),
+      s"$d/orders.parquet", 3, Seq("o_orderkey", "o_custkey"))
+    val r1 = graft.rec.Ratings.view(spark, sf)
+    val r3 = graft.rec.Ratings.view(spark, d)
+    assert(r3.count() == 3 * r1.count())
+    def degrees(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("deg"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // every degree bucket triples in user count; no new buckets appear
+    assert(degrees(r3) == degrees(r1).map { case (deg, n) => (deg, 3 * n) })
+  }
+
+  test("tiled documents: rotation is a bijection, copies differ from source") {
+    val src = Tables.documents(spark, sf)
+    val d = tmp("graft-tilespec-d")
+    ScaleBench.tileDocuments(spark, src, s"$d/documents.parquet", 3)
+    val tiled = spark.read.parquet(s"$d/documents.parquet")
+    assert(tiled.count() == 3 * src.count())
+    val docMax = src.agg(max(col("doc_id"))).head().getAs[Number](0).longValue + 1
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    // rot-2 applied to copy 2's text INVERTS to the source text exactly
+    val rotL = lower.drop(2) + lower.take(2)
+    val rotU = upper.drop(2) + upper.take(2)
+    val copy2Back = tiled
+      .where(col("doc_id") >= 2 * docMax && col("doc_id") < 3 * docMax)
+      .select((col("doc_id") - 2 * docMax).as("doc_id"),
+        // inverse mapping: translate FROM the rotated alphabet TO the plain
+        translate(col("text"), rotL + rotU, lower + upper).as("back"))
+    val joined = copy2Back.join(src.select(col("doc_id"), col("text")), "doc_id")
+    assert(joined.count() == src.count())
+    assert(joined.where(col("back") =!= col("text")).count() == 0)
+    // and copy 2 is NOT byte-identical to the source (rotation did something)
+    val copy2Raw = tiled
+      .where(col("doc_id") >= 2 * docMax && col("doc_id") < 3 * docMax)
+      .select((col("doc_id") - 2 * docMax).as("doc_id"), col("text").as("rot"))
+    val differing = copy2Raw.join(src.select(col("doc_id"), col("text")), "doc_id")
+      .where(col("rot") =!= col("text")).count()
+    assert(differing > 0)
+  }
+}
