@@ -67,7 +67,9 @@ object ScaleBench {
     * cannot vouch for: q72 (MinHash-edge connected components — the
     * ITERATIVE pointer-jumping operator, where driver-side state or a
     * per-round planning blowup would hide) and q29 (the banded
-    * signature equi-join itself). */
+    * signature equi-join itself — whose r14 run FLAGGED super-linear,
+    * leading to the bounded-bucket q131 that rides along to demonstrate
+    * the fix scales where the exact form cannot). */
   private val ScaleSet = Seq(
     "q88_lightgcn_training",
     "q107_lightgcn_holdout",
@@ -80,7 +82,8 @@ object ScaleBench {
     "q87_bpr_gd_training",
     "q36_graph_propagation",
     "q72_dedup_components",
-    "q29_minhash_pairs")
+    "q29_minhash_pairs",
+    "q131_minhash_pairs_bounded")
 
   private val Passes = 2
 

@@ -285,8 +285,13 @@ object TextOps {
 
   /** MinHash-LSH near-dup candidates: docs sharing at least one band of
     * the signature, with the signature-estimated Jaccard attached. The
-    * join key is the banded signature — at scale this is the only shuffle
-    * and it is uniformly distributed. */
+    * join key is the banded signature — at scale this is the only
+    * shuffle. CAVEAT (measured, SCALEBENCH r14): the pair OUTPUT is
+    * Θ(Σ C(bucket, 2)), and a boilerplate-heavy corpus has heavy
+    * buckets (the sf0.1 fixture's largest band bucket holds 386 docs =
+    * 74k pairs from one key; tiled 10×, the operator's cpu grew 36× for
+    * 10× input). This exact all-pairs form is the CORRECTNESS anchor;
+    * [[minhashPairsBounded]] (q131) is the form to run at corpus scale. */
   val minhashPairs = Q(
     "q29_minhash_pairs",
     (s, d) => {
@@ -327,6 +332,86 @@ object TextOps {
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
             round(($est) / $K.0, 6) AS est_jaccard
           FROM m a JOIN m b ON a.doc_id < b.doc_id AND ($anyBand)
+          ORDER BY a_id, b_id"""
+    }
+  )
+
+  /** Per-band bucket-population cap for [[minhashPairsBounded]]: ≈ p99.5
+    * of the fixture's bucket-size distribution (29 of ~19k buckets
+    * exceed it), and high enough that genuine near-dup clusters pass
+    * while template/boilerplate keys are excluded. */
+  private[queries] val LshBucketCap = 32
+
+  /** q29 with the at-scale guard the SCALEBENCH r14 flag demanded:
+    * identical banding, but a (band, bucket) key whose population
+    * exceeds [[LshBucketCap]] contributes NO pairs. Rationale (the
+    * standard web-dedup practice): a band key shared by hundreds of
+    * documents is a boilerplate/template signal, not a near-duplicate
+    * signal — its C(n,2) explosion is exactly the quadratic term that
+    * breaks all-pairs enumeration at corpus scale, and docs that are
+    * TRULY near-duplicates of each other keep colliding in their other,
+    * discriminative bands. The bucket-size filter is one count
+    * aggregate on the same shuffle key as the pair join, so work and
+    * output are both bounded by Cap per key — Σ C(min(n, 0-or-n≤Cap), 2)
+    * — making the operator linear in bucket COUNT regardless of corpus
+    * skew (measured side by side with q29 in SCALEBENCH_r14). */
+  val minhashPairsBounded = Q(
+    "q131_minhash_pairs_bounded",
+    (s, d) => {
+      val m = signatures(s, d).cache()
+      val banded = m.select(col("doc_id"),
+        posexplode(array((0 until Bands).map { b =>
+          concat_ws("_", (0 until RowsPerBand).map(j =>
+            element_at(col("sig"), b * RowsPerBand + j + 1)): _*)
+        }: _*)).as(Seq("band", "bucket")))
+      val keep = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= LshBucketCap)
+        .select(col("band"), col("bucket"))
+      val small = banded.join(keep, Seq("band", "bucket"))
+      val cand = small.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+        .join(small.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+          Seq("band", "bucket"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val est = (0 until K).map(k =>
+        when(element_at(col("sa"), k + 1) === element_at(col("sb"), k + 1), 1.0)
+          .otherwise(0.0))
+        .reduce(_ + _) / K.toDouble
+      cand
+        .join(m.select(col("doc_id").as("a_id"), col("sig").as("sa")), Seq("a_id"))
+        .join(m.select(col("doc_id").as("b_id"), col("sig").as("sb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), round(est, 6).as("est_jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some {
+      val mhCols = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
+        s"min(($a * hv + $b) % $P) AS mh$k"
+      }.mkString(", ")
+      val bandSelects = (0 until Bands).map { b =>
+        val bucket = (0 until RowsPerBand)
+          .map(j => s"mh${b * RowsPerBand + j}").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $bucket AS bucket FROM m"
+      }.mkString(" UNION ALL ")
+      val est = (0 until K).map(k =>
+        s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1.0 ELSE 0.0 END)").mkString(" + ")
+      s"""WITH sh AS ($shinglesSql),
+          hv AS (SELECT doc_id, ${h32Sql("s")} AS hv FROM sh),
+          m AS (SELECT doc_id, $mhCols FROM hv GROUP BY doc_id),
+          banded AS ($bandSelects),
+          keep AS (SELECT band, bucket FROM banded
+                   GROUP BY band, bucket HAVING count(*) <= $LshBucketCap),
+          small AS (SELECT b.doc_id, b.band, b.bucket
+                    FROM banded b JOIN keep k
+                    ON b.band = k.band AND b.bucket = k.bucket),
+          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM small a JOIN small b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id)
+          SELECT c.a_id, c.b_id, round(($est) / $K.0, 6) AS est_jaccard
+          FROM cand c
+          JOIN m sa ON sa.doc_id = c.a_id
+          JOIN m sb ON sb.doc_id = c.b_id
           ORDER BY a_id, b_id"""
     }
   )
@@ -1307,7 +1392,8 @@ object TextOps {
   )
 
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
-    ngramJaccard, minhashSig, minhashPairs, simhash, fingerprint,
+    ngramJaccard, minhashSig, minhashPairs, minhashPairsBounded,
+    simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
     cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters,
     cmsHeavyHitters, bloomDecontamination, bm25, docChunks,

@@ -228,4 +228,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"q130 does not plan a TakeOrderedAndProject:\n$p")
   }
+
+  test("q131 bounded LSH pairs: size gate is an aggregate, joins stay keyed") {
+    // The SCALEBENCH r14 mitigation's contract: the bucket-size gate is
+    // a count AGGREGATE on the same (band, bucket) key as the pair
+    // join — never a Window that sorts a bucket's population in one
+    // task — and every join is keyed (no cartesian/nested-loop forms:
+    // the whole point is that no task's work can exceed Cap² per key).
+    val p = plan("q131_minhash_pairs_bounded")
+    assert(!p.contains("Window"), s"q131 plans a window:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"q131's bucket-size gate is not an aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q131 degraded to an unkeyed join:\n$p")
+  }
 }
