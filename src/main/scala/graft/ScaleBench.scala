@@ -82,8 +82,33 @@ object ScaleBench {
     "q87_bpr_gd_training",
     "q36_graph_propagation",
     "q72_dedup_components",
+    "q28_minhash_sig",
     "q29_minhash_pairs",
     "q131_minhash_pairs_bounded")
+
+  /** The dedup queries share one cached sub-plan (the MinHash signature
+    * table), and Bench's first-consumer-pays attribution broke for them
+    * at 10×: by the time the dedup group runs, the pass's accumulated
+    * caches (capped ratings, trainer intermediates) push unified-memory
+    * STORAGE past the eviction floor, so any execution borrowing evicts
+    * the signature blocks between — and even mid-way through — these
+    * sub-second queries, which then re-derive signatures inside their
+    * own timing (r14 diagnosis: q131's cpu_ratio read 24–32 in-bench
+    * while its output and its clean-session warm-cache cpu both grew
+    * ~11×). ScaleBench therefore runs each dedup-stage query under a
+    * CONTROLLED cache state: clearCache() (storage now holds nothing to
+    * fight over), then — for the signature CONSUMERS — one untimed run
+    * of the signature query to materialize the shared table hot. q28
+    * itself gets only the clear, so its timed number IS the signature
+    * build. Residual in-bench inflation remains on these sub-second
+    * queries even with the hot shared table (late-pass JVM/session
+    * state: q72's pinned checkpoint blocks, code-cache pressure —
+    * clean-session measurements run 2-4× cheaper), which is why each
+    * query also reports rows_1x/rows_Nx: OUTPUT growth is noise-free
+    * and adjudicates any cpu flag (see the JSON assembly note). */
+  private val DedupStage = Set(
+    "q72_dedup_components", "q28_minhash_sig",
+    "q29_minhash_pairs", "q131_minhash_pairs_bounded")
 
   private val Passes = 2
 
@@ -200,27 +225,34 @@ object ScaleBench {
     // per scale: Passes full interleaved passes, per-metric min (Bench's
     // host-load discipline — samples a full pass apart decorrelate load
     // waves; pass 1 fully warms JIT so pass 2 is steady-state)
-    def runScale(dir: String): (Map[String, (Double, Double)], Long) = {
+    def runScale(dir: String): (Map[String, (Double, Double, Long)], Long) = {
       val samples = (1 to Passes).flatMap { _ =>
         spark.catalog.clearCache()
         selected.map { case (name, fn) =>
           // time the propagation BUILD, not the memo lookup (Bench's rule)
           if (name == "q72_dedup_components")
             _root_.graft.queries.TextOps.clearLabelMemo()
+          // controlled cache state for the dedup stages (see [[DedupStage]])
+          if (DedupStage(name)) {
+            spark.catalog.clearCache()
+            if (name != "q28_minhash_sig")
+              SparkEntry.queries("q28_minhash_sig")(spark, dir).count()
+          }
           val cpu0 = drainedCpuNs()
           val t0 = System.nanoTime()
-          try fn(spark, dir).count() catch {
+          val rows = try fn(spark, dir).count() catch {
             case e: Throwable =>
               System.err.println(s"[scalebench] $name FAILED: ${e.getMessage}")
+              -1L
           }
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = (drainedCpuNs() - cpu0) / 1e9
-          name -> ((wall, cpu))
+          name -> ((wall, cpu, rows))
         }
       }
       val byQuery = selected.map { case (name, _) =>
         val s = samples.collect { case (`name`, t) => t }
-        name -> ((s.map(_._1).min, s.map(_._2).min))
+        name -> ((s.map(_._1).min, s.map(_._2).min, s.map(_._3).max))
       }.toMap
       spark.catalog.clearCache()
       (byQuery, usedHeapMb())
@@ -281,8 +313,16 @@ object ScaleBench {
     }
     val qJson = ScaleSet.map { q =>
       val ratio = qn(q)._2 / math.max(q1(q)._2, 1e-9)
+      // rows_ratio is the SEMANTICS-level scaling signal: output growth
+      // is exactly reproducible (no timing noise), so it adjudicates
+      // whether a cpu flag reflects the operator (output grew
+      // super-linearly) or session-state measurement noise on a
+      // sub-second query (output grew linearly while cpu jittered)
+      val rowsRatio = qn(q)._3.toDouble / math.max(q1(q)._3.toDouble, 1.0)
       s""""$q":{"cpu_sec_1x":${r3(q1(q)._2)},"cpu_sec_${n}x":${r3(qn(q)._2)},""" +
-        s""""cpu_ratio":${r2(ratio)},"wall_1x":${r3(q1(q)._1)},"wall_${n}x":${r3(qn(q)._1)}}"""
+        s""""cpu_ratio":${r2(ratio)},"rows_1x":${q1(q)._3},"rows_${n}x":${qn(q)._3},""" +
+        s""""rows_ratio":${r2(rowsRatio)},""" +
+        s""""wall_1x":${r3(q1(q)._1)},"wall_${n}x":${r3(qn(q)._1)}}"""
     }.mkString("{", ",", "}")
     val iJson = Seq("ivf", "pq", "ivfpq").map { k =>
       val (b1, p1) = idx(1)(k)

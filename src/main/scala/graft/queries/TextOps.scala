@@ -249,12 +249,35 @@ object TextOps {
     call_function("minhash_sig", text)
   }
 
+  /** One signature DataFrame memoized per (session, dataset): the
+    * MinHash table is the shared, expensive first stage of FOUR catalog
+    * queries (q28/q29/q72/q131, plus q78 through q72), and relying on
+    * the plan cache to dedupe per-invocation copies proved fragile —
+    * each invocation builds a fresh `MinHashSig` expression, and under
+    * the r14 scale-stress run the separately-registered copies
+    * intermittently missed each other, re-deriving the signature table
+    * inside a consumer's timing (SCALEBENCH r14 a–c attribution
+    * artifact). Handing every consumer the SAME DataFrame object makes
+    * reuse an identity, not a plan-matching question — the labelCache
+    * pattern. Keyed on the stable session id; evicted with the session. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  graft.SessionIds.registerEvictor(sid =>
+    sigCache.filterInPlace((k, _) => k._1 != sid))
+
+  private[graft] def sigMemoEntries: Int = sigCache.size
+
   /** Per-doc signatures (doc_id, sig: array<bigint> length K) — the
-    * shared, shuffle-free first stage of q28/q29. */
+    * shared, shuffle-free first stage of q28/q29/q72/q131. `.cache()`
+    * on every call is deliberate: it is a no-op while registered and
+    * RE-registers the one shared plan after a `clearCache()` (the bench
+    * clears per pass), so the memo never serves an uncacheable orphan. */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), minhashSigCol(s, col("text")).as("sig"))
-      .where(col("sig").isNotNull)
+    sigCache.getOrElseUpdate((graft.SessionIds.of(s), d), {
+      Tables.documents(s, d)
+        .select(col("doc_id"), minhashSigCol(s, col("text")).as("sig"))
+        .where(col("sig").isNotNull)
+    }).cache()
 
   /** Per-doc MinHash signature, exploded to (doc_id, k, mh) rows so the
     * oracle compare is flat. The signature is computed per row by the

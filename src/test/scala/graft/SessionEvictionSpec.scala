@@ -17,6 +17,7 @@ class SessionEvictionSpec extends SparkSpec {
     queries.Similarity.ivfIndexProbe.run(spark, sfDir).count()
     queries.Similarity.pqIndexProbe.run(spark, sfDir).count()
     assert(queries.TextOps.labelMemoEntries >= 1)
+    assert(queries.TextOps.sigMemoEntries >= 1)
     val dirs = queries.Similarity.indexMemoDirs
     assert(dirs.size >= 2, "expected both the IVF and PQ index memos")
     dirs.foreach { d =>
@@ -28,6 +29,8 @@ class SessionEvictionSpec extends SparkSpec {
 
     assert(queries.TextOps.labelMemoEntries == 0,
       "label memo kept entries for the evicted session")
+    assert(queries.TextOps.sigMemoEntries == 0,
+      "signature memo kept entries for the evicted session")
     assert(queries.Similarity.indexMemoDirs.isEmpty,
       "index memo kept entries for the evicted session")
     dirs.foreach { d =>
