@@ -33,9 +33,11 @@ import graft.stream.{RatingEvent, StreamOps}
   * CEILING SWEEP (VERDICT r13 item 2): the single-rate run only ever
   * confirmed "≥ offered" — it never saturated. Setting
   * `SPARK_GRAFT_STREAM_RATES=40000,80000,160000` switches to sweep
-  * mode: at each offered rate the two headline configs run
-  * (`state_evict` — state path alone; `serve_evict` — state + per-batch
-  * cosine top-N serve), keyed `label@rate` in the output (the key shape
+  * mode: at each offered rate three configs run (`state_evict` — state
+  * path alone; `serve_evict` — state + per-batch exact cosine top-N
+  * serve; `serve_ann_evict` — the serve pruned by the IVF cells of
+  * [[StreamOps.topNForUsersAnn]], r14's answer to the measured serve
+  * bottleneck), keyed `label@rate` in the output (the key shape
   * `compare_aux_bench.py` matches per-config, so a sweep candidate is
   * only compared on configs a baseline ran). Each entry reports
   * `sustained` = events/s ≥ 0.9 × offered; the ceiling is the largest
@@ -85,16 +87,24 @@ object StreamBench {
         .as[RatingEvent]
     }
 
+    // serve-side IVF for the sweep's ANN config (r14): built once, like
+    // loading a model — no micro-batch pays the build
+    lazy val serveIdx = StreamOps.buildServeIndex(items)
+
     def run(label: String, idle: Option[java.time.Duration],
-            serve: Boolean, rate: Int): String = {
+            serve: Boolean, rate: Int, ann: Boolean = false): String = {
       val interests = StreamOps.interestStream(
         StreamOps.enrich(events(rate), items), dim, idleTimeout = idle)
       val writer =
         if (serve)
           interests.writeStream.outputMode("append")
             .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.stream.UserInterest], _: Long) =>
-              StreamOps.topNForUsers(df.toDF(), items, 10).write
-                .format("noop").mode("overwrite").save()
+              val top =
+                if (ann) {
+                  val (cent, cells) = serveIdx
+                  StreamOps.topNForUsersAnn(df.toDF(), cent, cells, 10)
+                } else StreamOps.topNForUsers(df.toDF(), items, 10)
+              top.write.format("noop").mode("overwrite").save()
             }
         else
           interests.writeStream.outputMode("append").format("noop")
@@ -137,7 +147,8 @@ object StreamBench {
     val parts = sweep match {
       case Some(rs) => rs.flatMap(r => Seq(
         run(s"state_evict@$r", idle, serve = false, r),
-        run(s"serve_evict@$r", idle, serve = true, r)))
+        run(s"serve_evict@$r", idle, serve = true, r),
+        run(s"serve_ann_evict@$r", idle, serve = true, r, ann = true)))
       case None => Seq(
         run("state_noevict", None, serve = false, rate),
         run("state_evict", idle, serve = false, rate),

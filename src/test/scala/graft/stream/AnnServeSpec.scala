@@ -1,0 +1,76 @@
+package graft.stream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Recall gates for the ANN-accelerated streaming serve
+  * ([[StreamOps.topNForUsersAnn]]) against the exact serve
+  * ([[StreamOps.topNForUsers]]).
+  *
+  * Two corpora, two claims:
+  *
+  *  1. STRUCTURED (deterministic in-spec clusters — the shape of real
+  *     embedding corpora, where co-topic vectors are near-parallel):
+  *     cell routing must recover essentially the whole exact top-10
+  *     while scanning nprobe/K of the catalog. This is the property
+  *     IVF serving exists for.
+  *  2. The FIXTURE embeddings, which are measured isotropic noise
+  *     (top-10 neighbors share the probe's label at chance rate 0.10;
+  *     intra- vs inter-cluster cosine 0.0007 vs 0.0004): no
+  *     space-partitioning index can recover deep neighbor lists from
+  *     noise without scanning it, so the pin here is the SELECTIVITY
+  *     FLOOR — recall must beat the scanned fraction by ≥2× (measured
+  *     ~3.5×: 0.42 recall @ 12% scan at k=16, nprobe=2) — plus exact
+  *     self-retrieval (a vector's own cell is always its nearest, so
+  *     losing self-hits means the routing broke, noise or not).
+  */
+class AnnServeSpec extends SparkSpec {
+  private val n = 10
+
+  private def recallOf(items: org.apache.spark.sql.DataFrame,
+                       nprobe: Int, k: Int): (Double, Long, Long) = {
+    val interests = items.where(col("itemId") % 7 === 0)
+      .select(col("itemId").as("userId"), col("features").as("interest"))
+      .cache()
+    val users = interests.count()
+    val exact = StreamOps.topNForUsers(interests, items, n)
+      .select(col("userId"), col("itemId"))
+    val (cent, cells) = StreamOps.buildServeIndex(items, k = k)
+    val ann = StreamOps.topNForUsersAnn(interests, cent, cells, n, nprobe)
+    val hits = exact.intersect(ann.select(col("userId"), col("itemId"))).count()
+    val selfHits = ann.where(col("userId") === col("itemId")).count()
+    (hits.toDouble / (users * n), selfHits, users)
+  }
+
+  test("structured corpus: ANN serve recovers the exact top-10 at 12% scan") {
+    // 16 deterministic clusters: centroid dims sin(c*97+j) (near-orthogonal
+    // across clusters), items = centroid + 10% deterministic perturbation.
+    // itemIds 0..15 land one per cluster, so the seeded Lloyd init starts
+    // with one vector in each true cluster.
+    val items = spark.range(2000).select(
+      col("id").cast("int").as("itemId"),
+      expr("""transform(sequence(0, 63), j ->
+                sin(CAST((id % 16) * 97 + j AS DOUBLE)) +
+                0.1 * sin(CAST(id * 31 + j * 7 AS DOUBLE)))""").as("features"))
+      .cache()
+    val (recall, selfHits, users) = recallOf(items, nprobe = 2, k = 16)
+    info(f"structured recall@10 = $recall%.3f over $users users")
+    assert(recall >= 0.95, f"structured recall collapsed: $recall%.3f")
+    assert(selfHits == users, s"self-retrieval lost: $selfHits of $users")
+  }
+
+  test("isotropic fixture: selectivity floor and self-retrieval hold") {
+    val items = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id").cast("int").as("itemId"),
+        col("embedding").cast("array<double>").as("features"))
+      .cache()
+    val nprobe = 2; val k = 16
+    val (recall, selfHits, users) = recallOf(items, nprobe, k)
+    val scanFrac = nprobe.toDouble / k
+    info(f"fixture recall@10 = $recall%.3f (scan fraction $scanFrac%.3f)")
+    assert(recall >= 2 * scanFrac,
+      f"quantizer adds <2x selectivity over random pruning: $recall%.3f")
+    assert(selfHits == users, s"self-retrieval lost: $selfHits of $users")
+  }
+}
