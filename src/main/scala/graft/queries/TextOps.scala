@@ -306,6 +306,33 @@ object TextOps {
     }
   )
 
+  /** Hard ceiling for q29's exact all-pairs bucket enumeration:
+    * Θ(Σ C(bucket, 2)) output, measured 16× rows for 10× input at the
+    * fixture's bucket skew (SCALEBENCH_r14; heaviest band bucket 386
+    * docs = 74k pairs). 100k docs ≈ 20× the sf0.1 fixture — DELIBERATELY
+    * above ScaleBench's 10×-tiled 50k so the scale bench keeps measuring
+    * the quadratic side by side with q131's bounded form, and low enough
+    * that no real corpus reaches the enumeration ungated. */
+  private[graft] val ExactLshPairsMaxDocs = 100000L
+
+  /** Document-count memo per fixture dir (immutable data): the q29 gate
+    * costs one metadata-count job per dataset, not one per invocation —
+    * the q21 `rowCountCache` pattern (Similarity.scala). */
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** The q21 require-gate pattern applied to q29: refuse the exact
+    * all-pairs enumeration above [[ExactLshPairsMaxDocs]] docs, naming
+    * the scale-safe form. Factored out so the spec can exercise the
+    * refusal without materializing a 100k-doc corpus. */
+  private[graft] def checkExactPairsScale(
+      nDocs: Long, cap: Long = ExactLshPairsMaxDocs): Unit =
+    require(nDocs <= cap,
+      s"q29_minhash_pairs is the exact all-pairs correctness anchor " +
+      s"(Θ(Σ C(bucket,2)) pair output — measured 16× rows for 10× input, " +
+      s"SCALEBENCH_r14); input has $nDocs docs > $cap. Use " +
+      s"q131_minhash_pairs_bounded (bucket-capped banding) at corpus scale.")
+
   /** MinHash-LSH near-dup candidates: docs sharing at least one band of
     * the signature, with the signature-estimated Jaccard attached. The
     * join key is the banded signature — at scale this is the only
@@ -314,10 +341,15 @@ object TextOps {
     * buckets (the sf0.1 fixture's largest band bucket holds 386 docs =
     * 74k pairs from one key; tiled 10×, the operator's cpu grew 36× for
     * 10× input). This exact all-pairs form is the CORRECTNESS anchor;
-    * [[minhashPairsBounded]] (q131) is the form to run at corpus scale. */
+    * [[minhashPairsBounded]] (q131) is the form to run at corpus scale —
+    * and, the q21 pattern (VERDICT r14 what's-wrong #1), the anchor is
+    * size-GATED so it cannot silently become a production path: above
+    * [[ExactLshPairsMaxDocs]] docs it refuses and names q131. */
   val minhashPairs = Q(
     "q29_minhash_pairs",
     (s, d) => {
+      checkExactPairsScale(docCountCache.getOrElseUpdate(d,
+        graft.Tables.documents(s, d).count()))
       val m = signatures(s, d).cache()
       val banded = m.select(col("doc_id"),
         posexplode(array((0 until Bands).map { b =>

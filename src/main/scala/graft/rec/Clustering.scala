@@ -89,7 +89,16 @@ object Clustering {
     * output `(grp, cid, c)`, cached like [[lloydKMeans]]'s rounds. */
   def lloydKMeansGrouped(vectors: DataFrame, k: Int,
                          iters: Int): DataFrame = {
-    val init = vectors.where(col("vec_id") < k)
+    // per-group k LOWEST ACTUAL ids (ADVICE r14): `vec_id < k` only
+    // equals this when every group's ids densely cover [0, k) — true of
+    // the fixtures, silently degenerate (missing centroids) otherwise.
+    // For dense-id inputs the two forms pick identical seeds, so the
+    // cross-engine oracles (whose SQL keeps the `vec_id < k` spelling)
+    // are unaffected.
+    val seedW = Window.partitionBy(col("grp")).orderBy(col("vec_id"))
+    val init = vectors
+      .withColumn("__seed_rn", row_number().over(seedW))
+      .where(col("__seed_rn") <= k)
       .select(col("grp"), col("vec_id").as("cid"), col("emb").as("c"))
     (1 to iters).foldLeft(init) { (cent, _) =>
       assignCellsGrouped(vectors, cent)
@@ -117,7 +126,15 @@ object Clustering {
     * code. (Jégou et al. 2011's IVF coarse quantizer, built relationally.)
     */
   def lloydKMeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    val init = vectors.where(col("vec_id") < k)
+    // the k LOWEST ACTUAL ids, as the doc promises (ADVICE r14): the old
+    // `vec_id < k` filter silently seeded fewer (or zero) centroids on
+    // catalogs whose ids don't densely cover [0, k) — e.g. an item
+    // catalog starting at 1_000_000 fed through
+    // [[graft.stream.StreamOps.buildServeIndex]]. orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-k, K-row driver merge),
+    // and for dense-id inputs picks exactly the same seeds, so the
+    // cross-engine oracles (SQL spelling `vec_id < k`) are unaffected.
+    val init = vectors.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("emb").as("c"))
     (1 to iters).foldLeft(init) { (cent, _) =>
       // Each round's K-row centroid table is cached: without it the

@@ -40,6 +40,18 @@ class DedupComponentsSpec extends SparkSpec {
     got.foreach { case (d, k) => assert(k == truth(d), s"doc $d: $k != ${truth(d)}") }
   }
 
+  test("q29 gate: refuses oversized corpora, naming q131 (q21 pattern)") {
+    // the fixture (and ScaleBench's 10x-tiled sf0.1, 50k docs) pass...
+    TextOps.checkExactPairsScale(50000L)
+    // ...a corpus-scale input refuses, and the refusal routes to q131
+    val e = intercept[IllegalArgumentException] {
+      TextOps.checkExactPairsScale(TextOps.ExactLshPairsMaxDocs + 1)
+    }
+    assert(e.getMessage.contains("q131_minhash_pairs_bounded"))
+    // the gated query itself still runs on the fixture
+    assert(TextOps.minhashPairs.run(spark, sfDir).limit(1).count() >= 0)
+  }
+
   test("q72 propagation has converged: one more neighbor-min round is a fixpoint") {
     val got = TextOps.dedupComponents.run(spark, sfDir)
       .select($"doc_id", $"keeper_id").as[(Long, Long)].collect().toMap

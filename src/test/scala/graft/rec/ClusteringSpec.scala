@@ -59,6 +59,23 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("lloydKMeans seeds from the k lowest ACTUAL ids — sparse/offset id spaces get full-k seeding") {
+    // ADVICE r14: the old `vec_id < k` init seeded ZERO centroids for a
+    // catalog whose ids start above k (e.g. a real item catalog fed to
+    // StreamOps.buildServeIndex). Shifted ids must behave exactly like
+    // dense ids: same blobs, same k centroids, same separation.
+    val shifted = blobs.select(($"vec_id" + 1000000L).as("vec_id"), $"emb")
+    val cent = Clustering.lloydKMeans(shifted, k = 2, iters = 3)
+      .as[(Long, Seq[Double])].collect()
+    assert(cent.length == 2, s"sparse-id seeding collapsed to ${cent.length} centroids")
+    val xs = cent.map(_._2.head).sorted
+    assert(math.abs(xs(0) - 0.02) < 0.1 && math.abs(xs(1) - 10.02) < 0.1)
+    // grouped form, same property per group
+    val g = Clustering.lloydKMeansGrouped(
+      shifted.select(lit(0).as("grp"), $"vec_id", $"emb"), k = 2, iters = 3)
+    assert(g.count() == 2)
+  }
+
   test("each round reads the previous round's cached centroids (O(n·iters), not O(n·iters²))") {
     // iters=10: without per-round caching this plan re-executes round i-1
     // inside round i (quadratic re-scan); with it, the final round's plan
