@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.stream.{RatingEvent, StreamOps}
@@ -46,6 +46,23 @@ import graft.stream.{RatingEvent, StreamOps}
   * serve). The rate source trivially outruns the pipeline, so an
   * unsustained config shows up as trigger backlog: events/s plateaus
   * at the pipeline's capacity while batches grow.
+  *
+  * CATALOG SWEEP (VERDICT r14 item 1): every scale measurement above
+  * grows users/events; the serve cost is touched-users × |catalog|,
+  * and the r14 sweeps fixed the catalog at the sf0.1 2,000 items — at
+  * 100 TB the catalog is millions (the reference's own serve scores
+  * ALL movies per event, `streaming_rec.py:106-114`). Setting
+  * `SPARK_GRAFT_STREAM_CATALOG=1:320000,640000;10:40000,...` runs, per
+  * `tiles:rates` group, the exact and ANN serves at each offered rate
+  * against an item catalog tiled `tiles`× (id-offset copies of the
+  * fixture embeddings — ScaleBench's tiling model on the item axis:
+  * every IVF cell gets tiles× the candidates under the same geometry).
+  * Config keys carry both axes (`serve_evict@i20000@r40000`), so
+  * catalog runs never collide with rate-sweep keys in
+  * `compare_aux_bench.py`. Each group's serve index is built EAGERLY
+  * before its first run (ADVICE r14: a lazy val first forced inside
+  * foreachBatch made micro-batch 1 pay the k-means build), timed and
+  * reported as `index_build_ms` context per group.
   */
 object StreamBench {
 
@@ -65,14 +82,31 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val items = Tables.embeddings(spark, sfDir)
+    val baseItems = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").cast("int").as("itemId"),
         col("embedding").cast("array<double>").as("features"))
       .cache()
-    val nItems = items.count()
-    val dim = items.select(size(col("features"))).as[Int].head()
+    val nBaseItems = baseItems.count()
+    val dim = baseItems.select(size(col("features"))).as[Int].head()
 
-    def events(rate: Int) = {
+    /** Item catalog tiled `t`× by id-offset copies (the ScaleBench tiling
+      * model applied to the ITEM axis): copy i's itemId is offset by
+      * i×(max+1), features unchanged — each serve-index cell gets t× the
+      * candidates under the same geometry. t=1 is the fixture catalog. */
+    def tileItems(t: Int): (DataFrame, Long) = {
+      if (t == 1) (baseItems, nBaseItems)
+      else {
+        val maxId = baseItems.agg(max(col("itemId"))).head().getInt(0) + 1L
+        val tiled = baseItems
+          .crossJoin(broadcast(spark.range(t).select(col("id").as("__tile"))))
+          .select((col("itemId") + col("__tile") * maxId).cast("int").as("itemId"),
+            col("features"))
+          .cache()
+        (tiled, tiled.count())
+      }
+    }
+
+    def events(rate: Int, nItems: Long) = {
       spark.readStream.format("rate")
         .option("rowsPerSecond", rate)
         .option("numPartitions", cpus)
@@ -87,23 +121,21 @@ object StreamBench {
         .as[RatingEvent]
     }
 
-    // serve-side IVF for the sweep's ANN config (r14): built once, like
-    // loading a model — no micro-batch pays the build
-    lazy val serveIdx = StreamOps.buildServeIndex(items)
-
     def run(label: String, idle: Option[java.time.Duration],
-            serve: Boolean, rate: Int, ann: Boolean = false): String = {
+            serve: Boolean, rate: Int,
+            items: DataFrame, nItems: Long,
+            serveIdx: Option[(DataFrame, DataFrame)] = None): String = {
       val interests = StreamOps.interestStream(
-        StreamOps.enrich(events(rate), items), dim, idleTimeout = idle)
+        StreamOps.enrich(events(rate, nItems), items), dim, idleTimeout = idle)
       val writer =
         if (serve)
           interests.writeStream.outputMode("append")
             .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.stream.UserInterest], _: Long) =>
-              val top =
-                if (ann) {
-                  val (cent, cells) = serveIdx
+              val top = serveIdx match {
+                case Some((cent, cells)) =>
                   StreamOps.topNForUsersAnn(df.toDF(), cent, cells, 10)
-                } else StreamOps.topNForUsers(df.toDF(), items, 10)
+                case None => StreamOps.topNForUsers(df.toDF(), items, 10)
+              }
               top.write.format("noop").mode("overwrite").save()
             }
         else
@@ -130,7 +162,7 @@ object StreamBench {
       def p50 = if (sorted.isEmpty) 0L else sorted(sorted.size / 2)
       val st = progress.lastOption.flatMap(_.stateOperators.headOption)
       def r1(v: Double) = "%.1f".format(v)
-      s""""$label":{"offered":$rate,"events_per_sec":${r1(eps)},""" +
+      s""""$label":{"offered":$rate,"items":$nItems,"events_per_sec":${r1(eps)},""" +
         s""""sustained":${eps >= 0.9 * rate},"batches":${steady.size},""" +
         s""""batch_ms_p50":$p50,"batch_ms_max":${sorted.lastOption.getOrElse(0L)},""" +
         s""""state_rows_final":${st.map(_.numRowsTotal).getOrElse(-1L)},""" +
@@ -139,26 +171,66 @@ object StreamBench {
     }
 
     val idle = Some(java.time.Duration.ofSeconds(10))
-    // sweep mode: SPARK_GRAFT_STREAM_RATES=40000,80000,160000 runs the
-    // two headline configs at each offered rate (see object doc);
+    // catalog mode: "t1:rate,rate;t2:rate,..." — per tile factor, the
+    // exact and ANN serves at each offered rate (see object doc)
+    val catalog = sys.env.get("SPARK_GRAFT_STREAM_CATALOG").map(_.split(";")
+      .map(_.trim).filter(_.nonEmpty).map { grp =>
+        val Array(t, rs) = grp.split(":", 2)
+        t.trim.toInt -> rs.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+      }.toSeq)
+    // rate-sweep mode: SPARK_GRAFT_STREAM_RATES=40000,80000,160000 runs
+    // the three headline configs at each offered rate (see object doc);
     // default mode is the r11-compatible three-config single-rate run
     val sweep = sys.env.get("SPARK_GRAFT_STREAM_RATES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-    val parts = sweep match {
-      case Some(rs) => rs.flatMap(r => Seq(
-        run(s"state_evict@$r", idle, serve = false, r),
-        run(s"serve_evict@$r", idle, serve = true, r),
-        run(s"serve_ann_evict@$r", idle, serve = true, r, ann = true)))
-      case None => Seq(
-        run("state_noevict", None, serve = false, rate),
-        run("state_evict", idle, serve = false, rate),
-        run("serve_evict", idle, serve = true, rate))
+
+    def timedMs(f: => Unit): Long = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000
+    }
+
+    val buildMsParts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val parts = (catalog, sweep) match {
+      case (Some(groups), _) =>
+        groups.flatMap { case (t, rs) =>
+          val (items, nItems) = tileItems(t)
+          // eager, timed build — no micro-batch (and no first-run skew
+          // between the exact and ANN configs) ever pays the k-means
+          var idx: (DataFrame, DataFrame) = null
+          buildMsParts(s"i$nItems") = timedMs { idx = StreamOps.buildServeIndex(items) }
+          val out = rs.flatMap { r => Seq(
+            run(s"serve_evict@i$nItems@r$r", idle, serve = true, r, items, nItems),
+            run(s"serve_ann_evict@i$nItems@r$r", idle, serve = true, r, items, nItems,
+              serveIdx = Some(idx)))
+          }
+          idx._1.unpersist(); idx._2.unpersist()
+          if (t != 1) items.unpersist()
+          out
+        }
+      case (None, Some(rs)) =>
+        // eager build (ADVICE r14): forced before the first ANN run, not
+        // inside its first micro-batch
+        val idx = StreamOps.buildServeIndex(baseItems)
+        rs.flatMap(r => Seq(
+          run(s"state_evict@$r", idle, serve = false, r, baseItems, nBaseItems),
+          run(s"serve_evict@$r", idle, serve = true, r, baseItems, nBaseItems),
+          run(s"serve_ann_evict@$r", idle, serve = true, r, baseItems, nBaseItems,
+            serveIdx = Some(idx))))
+      case (None, None) => Seq(
+        run("state_noevict", None, serve = false, rate, baseItems, nBaseItems),
+        run("state_evict", idle, serve = false, rate, baseItems, nBaseItems),
+        run("serve_evict", idle, serve = true, rate, baseItems, nBaseItems))
     }
     val ratesJson = sweep.getOrElse(Seq(rate)).mkString("[", ",", "]")
+    val catalogJson = catalog.map(gs =>
+      s""","catalog_groups":${gs.map { case (t, rs) =>
+        s"""{"tiles":$t,"rates":[${rs.mkString(",")}]}"""
+      }.mkString("[", ",", "]")},"index_build_ms":${buildMsParts.map {
+        case (k, v) => s""""$k":$v"""
+      }.mkString("{", ",", "}")}""").getOrElse("")
     val line = parts.mkString(
       s"""{"metric":"stream_bench","rate_rows_per_sec":$rate,"rates":$ratesJson,""" +
         s""""secs_per_config":$secs,""" +
-        s""""rotate_events":$rotate,"items":$nItems,"dim":$dim,"configs":{""",
+        s""""rotate_events":$rotate,"items":$nBaseItems,"dim":$dim$catalogJson,"configs":{""",
       ",", s"""},"sf":"$sfDir"}""")
     println(line)
     System.err.println(line)

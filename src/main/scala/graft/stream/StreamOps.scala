@@ -1,7 +1,6 @@
 package graft.stream
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -165,18 +164,40 @@ object StreamOps {
 
   /** ST6: cosine top-N items for each user interest vector (used inside
     * `foreachBatch` on the interest stream, or standalone in batch).
-    * Item side broadcasts; ranking is a per-user window. */
+    * Item side broadcasts; ranking is the bounded [[graft.expr.TopKPairs]]
+    * aggregate (q95's no-window pattern), not a `row_number` window: the
+    * window form shuffles and SORTS every scored (user, item) row —
+    * users × |catalog| rows per micro-batch, the term that buried the
+    * serve once the r15 catalog sweep grew |catalog| past the fixture's
+    * 2k — while the aggregate holds ≤ n pairs per user per map
+    * partition and ships only those to the shuffle. Identical ordering
+    * contract (score desc, itemId asc; NaN largest on both forms), so
+    * the ranked output is row-for-row the window's. */
   def topNForUsers(interests: DataFrame, itemFeatures: DataFrame, n: Int): DataFrame = {
     GraftFunctions.register(interests.sparkSession)
-    val w = Window.partitionBy(col("userId"))
-      .orderBy(col("score").desc, col("itemId"))
-    interests.crossJoin(broadcast(itemFeatures))
+    val scored = interests.crossJoin(broadcast(itemFeatures))
       .withColumn("score",
         GraftFunctions.cosineSimilarity(col("interest"), col("features")))
       .where(col("score").isNotNull)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= n)
-      .select(col("userId"), col("itemId"), col("rank"), col("score"))
+    topNByUser(scored, n, itemFeatures.schema("itemId").dataType)
+  }
+
+  /** Shared ranking tail of the exact and ANN serves: per-user bounded
+    * top-n via [[graft.expr.TopKPairs]], exploded back to the
+    * (userId, itemId, rank, score) row shape the window form emitted —
+    * itemId cast back to the catalog's own id type so callers see the
+    * schema they handed in. */
+  private def topNByUser(scored: DataFrame, n: Int,
+                         itemType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val topk = graft.expr.TopKPairs.agg(n)
+    scored
+      .groupBy(col("userId"))
+      .agg(topk(col("score"), col("itemId").cast("long")).as("top"))
+      .select(col("userId"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("userId"),
+        col("pair._2").cast(itemType).as("itemId"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("pair._1").as("score"))
   }
 
   /** Build the static serve-side IVF for [[topNForUsersAnn]] — paid once
@@ -237,15 +258,14 @@ object StreamOps {
         centroids, nprobe)
       .select(col("vec_id").as("userId"), col("emb").as("interest"),
         col("cid"))
-    val w = Window.partitionBy(col("userId"))
-      .orderBy(col("score").desc, col("itemId"))
-    userCells.join(broadcast(cellItems), Seq("cid"))
+    // cells partition the catalog, so a (user, item) pair scores at most
+    // once even at nprobe > 1; the per-user aggregate merges the user's
+    // nprobe cell slices exactly as the window's partitionBy did
+    val scored = userCells.join(broadcast(cellItems), Seq("cid"))
       .withColumn("score",
         GraftFunctions.cosineSimilarity(col("interest"), col("features")))
       .where(col("score").isNotNull)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= n)
-      .select(col("userId"), col("itemId"), col("rank"), col("score"))
+    topNByUser(scored, n, cellItems.schema("itemId").dataType)
   }
 
   /** Event-time tumbling-window aggregation with a watermark (the natural
