@@ -56,19 +56,40 @@ def metrics(doc):
             out[f"{cfg}.batch_ms_p50"] = (float(d["batch_ms_p50"]), False)
             ctx.append(f"{cfg}: state_rows={d.get('state_rows_final')}")
     elif kind == "ivf_maintenance":
-        for k in ("probe_ms_before", "probe_ms_after", "compact_ms"):
-            out[k] = (float(doc[k]), False)
+        for k in ("probe_ms_before", "probe_ms_after", "compact_ms",
+                  # r15+ retrain arm (absent in older files -> simply
+                  # not compared against them)
+                  "rebuild_ms", "probe_ms_retrained"):
+            if k in doc:
+                out[k] = (float(doc[k]), False)
         ctx.append(f"files {doc.get('files_before')} -> "
                    f"{doc.get('files_after')} "
                    f"(cells {doc.get('cells_compacted')})")
+        if "breakeven_probes" in doc:
+            ctx.append(f"tiles={doc.get('tiles')} rows={doc.get('rows')} "
+                       f"breakeven_probes={doc['breakeven_probes']}")
     elif kind == "scale_bench":
         t = doc.get("tiles")
+        # r15+ files carry a `scales` list (e.g. [1,4,10]); r14 two-point
+        # files only `tiles` — metric NAMES carry the scale, so runs with
+        # different scale sets simply share fewer metrics.
+        scales = doc.get("scales", [1, t])
         for q, d in doc.get("queries", {}).items():
-            out[f"{q}.cpu_sec_{t}x"] = (float(d[f"cpu_sec_{t}x"]), False)
+            if d.get("failed_at"):
+                continue  # failed queries carry sentinel cpu values
+            for s in scales:
+                if s == 1:
+                    continue
+                out[f"{q}.cpu_sec_{s}x"] = (float(d[f"cpu_sec_{s}x"]), False)
             out[f"{q}.cpu_ratio"] = (float(d["cpu_ratio"]), False)
         for k, d in doc.get("index_probes", {}).items():
-            out[f"{k}.probe_ms_{t}x"] = (float(d[f"probe_ms_{t}x"]), False)
+            for s in scales:
+                if s == 1:
+                    continue
+                out[f"{k}.probe_ms_{s}x"] = (float(d[f"probe_ms_{s}x"]), False)
         ctx.append(f"superlinear_flagged={doc.get('superlinear_flagged')}")
+        if doc.get("failed"):
+            ctx.append(f"FAILED QUERIES={doc['failed']}")
         ctx.append(f"heap_after_gc_mb_{t}x="
                    f"{doc.get(f'heap_after_gc_mb_{t}x')}")
     else:
@@ -126,6 +147,24 @@ def main(argv):
     for _, (_, ctx) in bm[:1] + cm[:1]:
         for c in ctx:
             print(f"  context: {c}")
+    # driver-heap growth gate (VERDICT r14 item 6): for scale_bench
+    # candidates, max-scale heap must stay within the same-code band of
+    # the 1x heap IN THE SAME RUN — the cheapest tripwire for a
+    # driver-side-state regression. All candidate runs must exceed the
+    # band to flag (one run is noise, the shared-host rule).
+    heap_ratios = []
+    for p, d in cand:
+        if d.get("metric") != "scale_bench":
+            continue
+        t = d.get("tiles")
+        h1, hn = d.get("heap_after_gc_mb_1x"), d.get(f"heap_after_gc_mb_{t}x")
+        if h1 and hn:
+            heap_ratios.append((p, hn / max(float(h1), 1.0)))
+    if heap_ratios:
+        for p, r in heap_ratios:
+            print(f"  heap growth {p}: {r:.2f}x (band {SPREAD})")
+        if all(r > SPREAD for _, r in heap_ratios):
+            flagged.append("heap_after_gc_growth")
     if flagged:
         print(f"FLAGGED ({len(flagged)}): {', '.join(flagged)}")
     return 1 if flagged else 0

@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   *   data-file count] — probe equality is IvfIndexSpec's assertion;
   *   this main reports the NUMBERS.
   *
+  * RETRAIN ARM (r15, VERDICT r14 item 5): compaction rewrites files but
+  * keeps the day-0 quantizer FROZEN — after the corpus grows ~(N+1)×,
+  * cell populations have drifted from the centroids the probes prune
+  * by (the r14 scale bench measured IVF-family probes growing 1.24–1.39×
+  * at 10× candidates under frozen quantizers). The third arm re-trains
+  * the quantizer on the FULL grown corpus and rebuilds: `rebuild_ms`
+  * vs `probe_ms_retrained` against the compacted-but-frozen
+  * `probe_ms_after` gives the growth POLICY number — `breakeven_probes`
+  * = rebuild cost / per-probe gain, the probe volume after which
+  * retraining has paid for itself (negative gain → -1: keep the frozen
+  * quantizer). Set `SPARK_GRAFT_INDEX_TILES=10` to run the same
+  * lifecycle on the 10×-tiled embeddings (ScaleBench's item-axis tiling:
+  * same geometry, 10× candidates) — the scale at which the policy
+  * question is real.
+  *
   * Prints ONE JSON line. Probe latency is the median of `reps` full
   * probe executions (assign → pruned cell scan → per-probe top-k,
   * collect()ed), after one untimed warmup pass; medians because a
@@ -34,6 +49,7 @@ object IndexBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val increments = sys.env.getOrElse("SPARK_GRAFT_INDEX_INCREMENTS", "30").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_INDEX_REPS", "7").toInt
+    val tiles = sys.env.getOrElse("SPARK_GRAFT_INDEX_TILES", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,7 +58,18 @@ object IndexBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val e = Tables.embeddings(spark, sfDir)
+    // tiles > 1: the ScaleBench item-axis tiling (id-offset copies, same
+    // geometry, tiles× the candidates), written through the same tiler
+    // so the parquet layout matches a real corpus of that size
+    val srcDir =
+      if (tiles == 1) sfDir
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-ib-tiled").toString
+        ScaleBench.tile(spark, Tables.embeddings(spark, sfDir),
+          s"$d/embeddings.parquet", tiles, Seq("vec_id"))
+        d
+      }
+    val e = Tables.embeddings(spark, srcDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .cache()
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bench").toString
@@ -63,10 +90,10 @@ object IndexBench {
         col("vec_id") < (i + 1) * sliceRows), dir))
 
     val probes = e.where(col("vec_id") < 10)
-    def probeMedianMs(): Double = {
+    def probeMedianMs(idxDir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        graft.rec.IvfIndex.probe(spark, dir, probes, nprobe = 2, topK = 3)
+        graft.rec.IvfIndex.probe(spark, idxDir, probes, nprobe = 2, topK = 3)
           .collect()
         (System.nanoTime() - t0) / 1e6
       }
@@ -78,20 +105,35 @@ object IndexBench {
     }
 
     val filesBefore = dataFiles(cells)
-    val msBefore = probeMedianMs()
+    val msBefore = probeMedianMs(dir)
     val t0 = System.nanoTime()
     val stats = graft.rec.IvfIndex.compact(spark, dir, maxFilesPerCell = 4)
     val compactMs = (System.nanoTime() - t0) / 1e6
     val filesAfter = dataFiles(cells)
-    val msAfter = probeMedianMs()
+    val msAfter = probeMedianMs(dir)
+
+    // retrain arm: quantizer re-trained on the FULL grown corpus, index
+    // rebuilt from scratch — the alternative growth policy to
+    // compact-under-a-frozen-quantizer
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild").toString
+    val t1 = System.nanoTime()
+    graft.rec.IvfIndex.build(e, dir2, k = 16, iters = 3)
+    val rebuildMs = (System.nanoTime() - t1) / 1e6
+    val msRetrained = probeMedianMs(dir2)
+    val gain = msAfter - msRetrained
+    val breakeven = if (gain > 0) math.round(rebuildMs / gain) else -1L
 
     println(
       s"""{"metric":"ivf_maintenance","sf_dir":"$sfDir","increments":$increments,""" +
-      s""""reps":$reps,"files_before":$filesBefore,"files_after":$filesAfter,""" +
+      s""""reps":$reps,"tiles":$tiles,"rows":$total,""" +
+      s""""files_before":$filesBefore,"files_after":$filesAfter,""" +
       s""""cells_compacted":${stats.cells_compacted},""" +
       s""""probe_ms_before":${math.round(msBefore)},""" +
       s""""probe_ms_after":${math.round(msAfter)},""" +
-      s""""compact_ms":${math.round(compactMs)}}""")
+      s""""compact_ms":${math.round(compactMs)},""" +
+      s""""rebuild_ms":${math.round(rebuildMs)},""" +
+      s""""probe_ms_retrained":${math.round(msRetrained)},""" +
+      s""""breakeven_probes":$breakeven}""")
     spark.stop()
   }
 }

