@@ -438,9 +438,13 @@ object ScaleBench {
         val r = q(s)(name)
         s""""cpu_sec_${s}x":${r3(r.cpu)},"rows_${s}x":${r.rows},"wall_${s}x":${r3(r.wall)}"""
       }.mkString(",")
-      val ratio = q(n)(name).cpu / math.max(q(1)(name).cpu, 1e-9)
-      val rowsRatio = q(n)(name).rows.toDouble / math.max(q(1)(name).rows.toDouble, 1.0)
       val failedAt = scales.filter(s => q(s)(name).allFailed)
+      val ratio =
+        if (failedAt.nonEmpty) -1.0
+        else q(n)(name).cpu / math.max(q(1)(name).cpu, 1e-9)
+      val rowsRatio =
+        if (failedAt.nonEmpty) -1.0
+        else q(n)(name).rows.toDouble / math.max(q(1)(name).rows.toDouble, 1.0)
       val failedJson =
         if (failedAt.isEmpty) ""
         else s""","failed_at":[${failedAt.mkString(",")}]"""

@@ -101,6 +101,10 @@ object StreamBench {
           .crossJoin(broadcast(spark.range(t).select(col("id").as("__tile"))))
           .select((col("itemId") + col("__tile") * maxId).cast("int").as("itemId"),
             col("features"))
+          // the fixture reads as a couple of files; without this the t×
+          // catalog inherits those few partitions and every downstream
+          // catalog pass (cell assignment, broadcast build) serializes
+          .repartition(spark.sparkContext.defaultParallelism)
           .cache()
         (tiled, tiled.count())
       }

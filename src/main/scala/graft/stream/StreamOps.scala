@@ -215,7 +215,14 @@ object StreamOps {
   private def l2normalize(v: Column): Column = {
     val nrm = sqrt(aggregate(zip_with(v, v, (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x))
-    when(nrm > 0, transform(v, x => x / nrm)).otherwise(v)
+    // bind the norm ONCE via a 1-element transform: higher-order
+    // functions evaluate interpreted, and a lambda body's free subtree
+    // is re-evaluated per element — `transform(v, x => x / nrm)` would
+    // recompute the full norm aggregate 64 times per vector (measured
+    // as the r15 serve-build stall at a 200k-item catalog)
+    element_at(
+      transform(array(nrm),
+        n => when(n > 0, transform(v, x => x / n)).otherwise(v)), 1)
   }
 
   /** Quantizer training-set cap: above this many items the serve
@@ -232,15 +239,21 @@ object StreamOps {
     cent.select(col("cid").cast("long"), col("c")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
 
-  /** The `nprobe` nearest cell ids for a vector, by cosine against the
-    * K LITERAL centroids (desc, cid-asc tiebreak; a null cosine — zero
-    * vector — ranks worst), as ONE whole-stage-codegen projection:
-    * K is small (a model, not a table), so folding the centroids into
-    * the expression replaces the join + per-row aggregation/window
-    * cell-routing shape with a scan-local `array_sort` over K scored
-    * structs — no join, no shuffle, no window, which matters twice:
-    * the full-catalog cell assignment becomes a single pass, and the
-    * per-micro-batch user routing stops paying a shuffle per batch. */
+  /** The `nprobe` nearest cell ids for a RAW vector, by cosine against
+    * the K LITERAL centroids (desc, cid-asc tiebreak; a null cosine —
+    * zero vector — ranks worst), as ONE scan-local projection: K is
+    * small (a model, not a table), so folding the centroids into the
+    * expression replaces the join + per-row aggregation/window
+    * cell-routing shape with an `array_sort` over K scored structs —
+    * no join, no shuffle, no window, which matters twice: the
+    * full-catalog cell assignment becomes a single pass, and the
+    * per-micro-batch user routing stops paying a shuffle per batch.
+    * The vector needs NO normalization here — cosine is scale
+    * invariant, and [[GraftFunctions.cosineSimilarity]] is the native
+    * codegen expression (the l2-normalize-then-compare form would drag
+    * an interpreted higher-order normalize into every row; the unit
+    * sphere only matters where EUCLIDEAN math runs, i.e. quantizer
+    * training). */
   private def nearestCellsCol(v: Column,
                               centroids: Seq[(Long, Array[Double])],
                               nprobe: Int): Column = {
@@ -277,8 +290,8 @@ object StreamOps {
     // shuffle-free pass over the catalog, not a join + aggregation.
     val cells = itemFeatures
       .withColumn("cid",
-        nearestCellsCol(l2normalize(col("features")),
-          collectCentroids(cent), 1).getItem(0))
+        nearestCellsCol(col("features"), collectCentroids(cent), 1)
+          .getItem(0))
       .select(col("cid"), col("itemId"), col("features"))
       .cache()
     cells.count()
@@ -308,7 +321,7 @@ object StreamOps {
     val userCells = interests
       .select(col("userId"), col("interest"))
       .withColumn("cid",
-        explode(nearestCellsCol(l2normalize(col("interest")),
+        explode(nearestCellsCol(col("interest"),
           collectCentroids(centroids), nprobe)))
     // cells partition the catalog, so a (user, item) pair scores at most
     // once even at nprobe > 1; the per-user aggregate merges the user's
