@@ -53,7 +53,11 @@ def metrics(doc):
     if kind == "stream_bench":
         for cfg, d in doc.get("configs", {}).items():
             out[f"{cfg}.events_per_sec"] = (float(d["events_per_sec"]), True)
-            out[f"{cfg}.batch_ms_p50"] = (float(d["batch_ms_p50"]), False)
+            # past a config's ceiling (`steady: false`, r15+) p50 is the
+            # size of whatever backlog batch happened to complete, not a
+            # code property — only steady runs carry a comparable latency
+            if d.get("steady", True):
+                out[f"{cfg}.batch_ms_p50"] = (float(d["batch_ms_p50"]), False)
             ctx.append(f"{cfg}: state_rows={d.get('state_rows_final')}")
     elif kind == "ivf_maintenance":
         for k in ("probe_ms_before", "probe_ms_after", "compact_ms",

@@ -157,8 +157,17 @@ object StreamBench {
       // kill the run after the earlier configs already burned their 45 s,
       // so keep only batches that report a trigger time (rows and
       // durations must stay paired for the events/s division)
-      val steady = progress.drop(3).filter(p =>
+      val completed = progress.filter(p =>
         p.numInputRows > 0 && p.durationMs.get("triggerExecution") != null)
+      // far past a config's ceiling a single backlog-swallowing batch can
+      // be all that completes inside the window — an empty steady set
+      // then read as events/s 0.0, a coin-flip artifact the r15 catalog
+      // pair flagged on its own past-ceiling probe. Fall back to every
+      // completed batch and say so (`"steady":false`): a bring-up-
+      // inclusive plateau beats a fabricated zero.
+      val steadySet = completed.drop(3)
+      val steady = if (steadySet.nonEmpty) steadySet else completed
+      val isSteady = steadySet.nonEmpty
       val trigMs = steady.map(_.durationMs.get("triggerExecution").toLong)
       val rows = steady.map(_.numInputRows).sum
       val eps = rows.toDouble * 1000 / math.max(trigMs.sum, 1L)
@@ -167,7 +176,8 @@ object StreamBench {
       val st = progress.lastOption.flatMap(_.stateOperators.headOption)
       def r1(v: Double) = "%.1f".format(v)
       s""""$label":{"offered":$rate,"items":$nItems,"events_per_sec":${r1(eps)},""" +
-        s""""sustained":${eps >= 0.9 * rate},"batches":${steady.size},""" +
+        s""""sustained":${isSteady && eps >= 0.9 * rate},"steady":$isSteady,""" +
+        s""""batches":${steady.size},""" +
         s""""batch_ms_p50":$p50,"batch_ms_max":${sorted.lastOption.getOrElse(0L)},""" +
         s""""state_rows_final":${st.map(_.numRowsTotal).getOrElse(-1L)},""" +
         s""""state_mem_mb":${r1(st.map(_.memoryUsedBytes).getOrElse(0L) / 1048576.0)},""" +
