@@ -155,7 +155,14 @@ def main(argv):
     # candidates, max-scale heap must stay within the same-code band of
     # the 1x heap IN THE SAME RUN — the cheapest tripwire for a
     # driver-side-state regression. All candidate runs must exceed the
-    # band to flag (one run is noise, the shared-host rule).
+    # band to flag (one run is noise, the shared-host rule). The ratio
+    # alone is not adjudicable on small deltas: System.gc() is advisory,
+    # and the r15 same-code pair read 412 vs 885 MB at the IDENTICAL 10x
+    # point (with the 4x point BELOW 1x in both runs) — pure collector
+    # scheduling. A real driver-state regression grows with data, so it
+    # clears any fixed floor at the next scale-up; the gate therefore
+    # also requires a material absolute delta (512 MB or 5% of the run's
+    # max heap, whichever is larger) before flagging.
     heap_ratios = []
     for p, d in cand:
         if d.get("metric") != "scale_bench":
@@ -163,11 +170,13 @@ def main(argv):
         t = d.get("tiles")
         h1, hn = d.get("heap_after_gc_mb_1x"), d.get(f"heap_after_gc_mb_{t}x")
         if h1 and hn:
-            heap_ratios.append((p, hn / max(float(h1), 1.0)))
+            floor = max(512.0, 0.05 * float(d.get("heap_max_mb") or 0))
+            heap_ratios.append((p, hn / max(float(h1), 1.0), hn - h1, floor))
     if heap_ratios:
-        for p, r in heap_ratios:
-            print(f"  heap growth {p}: {r:.2f}x (band {SPREAD})")
-        if all(r > SPREAD for _, r in heap_ratios):
+        for p, r, delta, floor in heap_ratios:
+            print(f"  heap growth {p}: {r:.2f}x, delta {delta:.0f} MB "
+                  f"(band {SPREAD}, material floor {floor:.0f} MB)")
+        if all(r > SPREAD and delta > floor for _, r, delta, floor in heap_ratios):
             flagged.append("heap_after_gc_growth")
     if flagged:
         print(f"FLAGGED ({len(flagged)}): {', '.join(flagged)}")
