@@ -62,7 +62,11 @@ import graft.stream.{RatingEvent, StreamOps}
   * `compare_aux_bench.py`. Each group's serve index is built EAGERLY
   * before its first run (ADVICE r14: a lazy val first forced inside
   * foreachBatch made micro-batch 1 pay the k-means build), timed and
-  * reported as `index_build_ms` context per group.
+  * reported as `index_build_ms` context per group, with the cell count
+  * sized by [[StreamOps.serveCells]] (nlist ≈ √N, capped — the r15
+  * preopt pair ran the fixed r14 K=16 and measured the ANN ceiling
+  * tracking its 12.5% scan fraction; the committed preopt artifacts
+  * keep that trail).
   */
 object StreamBench {
 
@@ -210,7 +214,18 @@ object StreamBench {
           // eager, timed build — no micro-batch (and no first-run skew
           // between the exact and ANN configs) ever pays the k-means
           var idx: (DataFrame, DataFrame) = null
-          buildMsParts(s"i$nItems") = timedMs { idx = StreamOps.buildServeIndex(items) }
+          // cell count scales with the catalog (serveCells: nlist ≈ √N,
+          // capped) — the r15 preopt sweep ran the r14 fixed K=16 and
+          // measured the ANN ceiling tracking its 12.5% scan fraction
+          // iters = 8: Lloyd at the K=64 cap converges slower than the
+          // r14 K=16 default (measured recall 0.936 at 3 rounds vs
+          // 0.974 at 8, AnnServeSpec many-topic corpus); training runs
+          // on the bounded sample, so the extra rounds don't scale
+          // with the catalog
+          buildMsParts(s"i$nItems") = timedMs {
+            idx = StreamOps.buildServeIndex(items,
+              k = StreamOps.serveCells(nItems), iters = 8)
+          }
           val out = rs.flatMap { r => Seq(
             run(s"serve_evict@i$nItems@r$r", idle, serve = true, r, items, nItems),
             run(s"serve_ann_evict@i$nItems@r$r", idle, serve = true, r, items, nItems,

@@ -267,6 +267,31 @@ object StreamOps {
       s => s.getField("cid"))
   }
 
+  /** Serve-quantizer cell count for a catalog of `nItems`: the standard
+    * IVF sizing guideline (nlist ≈ √N — FAISS's published rule, Jégou
+    * et al.'s IVFADC regime) balances per-probe routing work (K cosines
+    * against the literal centroids) against cell-scan work
+    * (≈ nprobe/K × N items scored); the optimum of K·d + (nprobe/K)·N·d
+    * is K = √(nprobe·N). Floor 16 (tiny catalogs gain nothing from
+    * finer cells), cap 64: [[nearestCellsCol]] folds all K centroids
+    * into ONE projection expression (K structs × d literal doubles), so
+    * K bounds the expression size — and at the fixed cap the
+    * quantizer-training and assignment cost stays flat across catalog
+    * sizes, which is what keeps serve-index builds off the stream-start
+    * critical path (§8.10's measured property). With the r14 default
+    * (K=16, nprobe=2) the ANN serve scanned 12.5% of the catalog no
+    * matter how large it grew; at the cap it scans 3.1% — the r15
+    * catalog sweep measured the 200k-item serve ceiling moving with
+    * exactly this fraction. Deep-recall behavior under the finer
+    * partitioning is pinned in AnnServeSpec's many-topic corpus (recall
+    * ≈ 1 when cells are no coarser than the corpus's natural topics —
+    * the regime a real item catalog is in; a corpus whose topics are
+    * LARGER than 1/K of the space needs nprobe raised to match, the
+    * standard IVF recall/latency dial). */
+  def serveCells(nItems: Long, nprobe: Int = 2): Int =
+    math.max(16, math.min(64,
+      math.ceil(math.sqrt(nprobe.toDouble * nItems)).toInt))
+
   def buildServeIndex(itemFeatures: DataFrame, k: Int = 16,
                       iters: Int = 3): (DataFrame, DataFrame) = {
     GraftFunctions.register(itemFeatures.sparkSession)

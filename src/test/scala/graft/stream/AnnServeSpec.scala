@@ -29,14 +29,15 @@ class AnnServeSpec extends SparkSpec {
   private val n = 10
 
   private def recallOf(items: org.apache.spark.sql.DataFrame,
-                       nprobe: Int, k: Int): (Double, Long, Long) = {
+                       nprobe: Int, k: Int,
+                       iters: Int = 3): (Double, Long, Long) = {
     val interests = items.where(col("itemId") % 7 === 0)
       .select(col("itemId").as("userId"), col("features").as("interest"))
       .cache()
     val users = interests.count()
     val exact = StreamOps.topNForUsers(interests, items, n)
       .select(col("userId"), col("itemId"))
-    val (cent, cells) = StreamOps.buildServeIndex(items, k = k)
+    val (cent, cells) = StreamOps.buildServeIndex(items, k = k, iters = iters)
     val ann = StreamOps.topNForUsersAnn(interests, cent, cells, n, nprobe)
     val hits = exact.intersect(ann.select(col("userId"), col("itemId"))).count()
     val selfHits = ann.where(col("userId") === col("itemId")).count()
@@ -57,6 +58,35 @@ class AnnServeSpec extends SparkSpec {
     val (recall, selfHits, users) = recallOf(items, nprobe = 2, k = 16)
     info(f"structured recall@10 = $recall%.3f over $users users")
     assert(recall >= 0.95, f"structured recall collapsed: $recall%.3f")
+    assert(selfHits == users, s"self-retrieval lost: $selfHits of $users")
+  }
+
+  test("serveCells: √N sizing with floor 16 and cap 64") {
+    assert(StreamOps.serveCells(100) == 16)       // floor
+    assert(StreamOps.serveCells(800) == 40)       // ceil(sqrt(2*800))
+    assert(StreamOps.serveCells(2000) == 64)      // ceil(sqrt(4000)) = 64
+    assert(StreamOps.serveCells(200000) == 64)    // cap
+    assert(StreamOps.serveCells(800, nprobe = 4) == 57)
+  }
+
+  test("many-topic corpus: recall holds at the serveCells partitioning (3% scan)") {
+    // 200 deterministic topics of 10 items each — the regime a real item
+    // catalog is in (topics no larger than 1/K of the space). Each
+    // user's exact top-10 IS its topic, so deep recall at K=64 cells /
+    // nprobe=2 (3.1% scan) requires the quantizer to keep topics whole
+    // and the router to find them — the property serveCells's cap is
+    // safe under, pinned here.
+    val items = spark.range(2000).select(
+      col("id").cast("int").as("itemId"),
+      expr("""transform(sequence(0, 63), j ->
+                sin(CAST((id % 200) * 97 + j AS DOUBLE)) +
+                0.1 * sin(CAST(id * 31 + j * 7 AS DOUBLE)))""").as("features"))
+      .cache()
+    val k = StreamOps.serveCells(2000)
+    assert(k == 64)
+    val (recall, selfHits, users) = recallOf(items, nprobe = 2, k = k, iters = 8)
+    info(f"many-topic recall@10 = $recall%.3f at ${2.0 / k}%.3f scan")
+    assert(recall >= 0.95, f"many-topic recall collapsed: $recall%.3f")
     assert(selfHits == users, s"self-retrieval lost: $selfHits of $users")
   }
 
