@@ -63,7 +63,11 @@ def metrics(doc):
         for k in ("probe_ms_before", "probe_ms_after", "compact_ms",
                   # r15+ retrain arm (absent in older files -> simply
                   # not compared against them)
-                  "rebuild_ms", "probe_ms_retrained"):
+                  "rebuild_ms", "probe_ms_retrained",
+                  # r15+ IVF-PQ lifecycle arm
+                  "ivfpq_probe_ms_before", "ivfpq_probe_ms_after",
+                  "ivfpq_compact_ms", "ivfpq_rebuild_ms",
+                  "ivfpq_probe_ms_retrained"):
             if k in doc:
                 out[k] = (float(doc[k]), False)
         ctx.append(f"files {doc.get('files_before')} -> "
@@ -71,7 +75,8 @@ def metrics(doc):
                    f"(cells {doc.get('cells_compacted')})")
         if "breakeven_probes" in doc:
             ctx.append(f"tiles={doc.get('tiles')} rows={doc.get('rows')} "
-                       f"breakeven_probes={doc['breakeven_probes']}")
+                       f"breakeven_probes={doc['breakeven_probes']} "
+                       f"ivfpq_breakeven_probes={doc.get('ivfpq_breakeven_probes')}")
     elif kind == "scale_bench":
         t = doc.get("tiles")
         # r15+ files carry a `scales` list (e.g. [1,4,10]); r14 two-point

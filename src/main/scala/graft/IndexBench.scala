@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   * quantizer). Set `SPARK_GRAFT_INDEX_TILES=10` to run the same
   * lifecycle on the 10×-tiled embeddings (ScaleBench's item-axis tiling:
   * same geometry, 10× candidates) — the scale at which the policy
-  * question is real.
+  * question is real. The full lifecycle (build → frozen appends →
+  * probe/compact/probe → retrain-rebuild → probe) also runs for the
+  * COMPOSED IVF-PQ index (`ivfpq_*` keys): the scale benches measured
+  * the PQ-family probes drifting MOST under frozen quantizers, so the
+  * composed index is where the retrain policy actually bites.
   *
   * Prints ONE JSON line. Probe latency is the median of `reps` full
   * probe executions (assign → pruned cell scan → per-probe top-k,
@@ -123,6 +127,46 @@ object IndexBench {
     val gain = msAfter - msRetrained
     val breakeven = if (gain > 0) math.round(rebuildMs / gain) else -1L
 
+    // ---- the same lifecycle for the COMPOSED index (IVF-PQ) ----
+    // The retrain question is sharpest here: the r14/r15 scale benches
+    // measured the PQ-family probes drifting most under frozen
+    // quantizers (PQ 1.39–1.72×, IVF-PQ 1.16–1.24× at 10× candidates vs
+    // IVF's ~1.0×) because BOTH the coarse cells and the per-subspace
+    // codebooks were fit on the day-0 distribution. Same protocol:
+    // build on the first slice, N frozen appends, probe / compact /
+    // probe, then retrain-and-rebuild on the full corpus and probe.
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-bench").toString
+    val pqCells = new java.io.File(s"$pqDir/codes")
+    graft.rec.IvfPqIndex.build(e.where(col("vec_id") < sliceRows), pqDir)
+    (1 to increments).foreach(i => graft.rec.IvfPqIndex.append(
+      spark, e.where(col("vec_id") >= i * sliceRows &&
+        col("vec_id") < (i + 1) * sliceRows), pqDir))
+    def pqProbeMedianMs(idxDir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.rec.IvfPqIndex.probe(spark, idxDir, probes, e).collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      once()
+      val xs = Vector.fill(reps)(once()).sorted
+      if (reps % 2 == 1) xs(reps / 2)
+      else (xs(reps / 2 - 1) + xs(reps / 2)) / 2.0
+    }
+    val pqFilesBefore = dataFiles(pqCells)
+    val pqMsBefore = pqProbeMedianMs(pqDir)
+    val t2 = System.nanoTime()
+    val pqStats = graft.rec.IvfPqIndex.compact(spark, pqDir, maxFilesPerCell = 4)
+    val pqCompactMs = (System.nanoTime() - t2) / 1e6
+    val pqFilesAfter = dataFiles(pqCells)
+    val pqMsAfter = pqProbeMedianMs(pqDir)
+    val pqDir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-rebuild").toString
+    val t3 = System.nanoTime()
+    graft.rec.IvfPqIndex.build(e, pqDir2)
+    val pqRebuildMs = (System.nanoTime() - t3) / 1e6
+    val pqMsRetrained = pqProbeMedianMs(pqDir2)
+    val pqGain = pqMsAfter - pqMsRetrained
+    val pqBreakeven = if (pqGain > 0) math.round(pqRebuildMs / pqGain) else -1L
+
     println(
       s"""{"metric":"ivf_maintenance","sf_dir":"$sfDir","increments":$increments,""" +
       s""""reps":$reps,"tiles":$tiles,"rows":$total,""" +
@@ -133,7 +177,15 @@ object IndexBench {
       s""""compact_ms":${math.round(compactMs)},""" +
       s""""rebuild_ms":${math.round(rebuildMs)},""" +
       s""""probe_ms_retrained":${math.round(msRetrained)},""" +
-      s""""breakeven_probes":$breakeven}""")
+      s""""breakeven_probes":$breakeven,""" +
+      s""""ivfpq_files_before":$pqFilesBefore,"ivfpq_files_after":$pqFilesAfter,""" +
+      s""""ivfpq_cells_compacted":${pqStats.cells_compacted},""" +
+      s""""ivfpq_probe_ms_before":${math.round(pqMsBefore)},""" +
+      s""""ivfpq_probe_ms_after":${math.round(pqMsAfter)},""" +
+      s""""ivfpq_compact_ms":${math.round(pqCompactMs)},""" +
+      s""""ivfpq_rebuild_ms":${math.round(pqRebuildMs)},""" +
+      s""""ivfpq_probe_ms_retrained":${math.round(pqMsRetrained)},""" +
+      s""""ivfpq_breakeven_probes":$pqBreakeven}""")
     spark.stop()
   }
 }
