@@ -90,6 +90,40 @@ class AnnServeSpec extends SparkSpec {
     assert(selfHits == users, s"self-retrieval lost: $selfHits of $users")
   }
 
+  test("ANN serve plan: shuffle-free routing, one aggregate exchange, no window") {
+    // The §8.10 scaling claims rest on this shape: user→cell routing is
+    // a literal-centroid projection (NO join, so no shuffle per
+    // micro-batch), the cell slice arrives by broadcast (the catalog is
+    // a model, not a table), and the only hash exchange in the whole
+    // serve is the per-user bounded top-N aggregate — never a Window
+    // (the r14 exact serve's ranking already moved to TopKPairs; this
+    // pins the ANN path to the same discipline).
+    val items = spark.range(500).select(
+      col("id").cast("int").as("itemId"),
+      expr("""transform(sequence(0, 15), j ->
+                sin(CAST(id * 13 + j AS DOUBLE)))""").as("features"))
+    val (cent, cells) = StreamOps.buildServeIndex(items, k = 16)
+    // partition-preserving user slice (a limit() would collapse the
+    // input to one partition and erase the aggregate's exchange)
+    val interests = items.where(col("itemId") % 25 === 0)
+      .select(col("itemId").as("userId"), col("features").as("interest"))
+    val ann = StreamOps.topNForUsersAnn(interests, cent, cells, n)
+    val p = ann.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Window"), s"ANN serve plans a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell slice is not broadcast-joined:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ANN serve shuffles or degrades a join:\n$p")
+    // exactly one shuffle node (the top-N aggregate's), and it hashes
+    // on the user key; BroadcastExchange nodes are the model side
+    val exchanges = """\(\d+\) Exchange\b""".r.findAllMatchIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly one shuffle (the top-N aggregate), got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(userId"),
+      s"the one exchange does not hash on userId:\n$p")
+  }
+
   test("isotropic fixture: selectivity floor and self-retrieval hold") {
     val items = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
       .select(col("vec_id").cast("int").as("itemId"),
