@@ -351,11 +351,7 @@ object TextOps {
       checkExactPairsScale(docCountCache.getOrElseUpdate(d,
         graft.Tables.documents(s, d).count()))
       val m = signatures(s, d).cache()
-      val banded = m.select(col("doc_id"),
-        posexplode(array((0 until Bands).map { b =>
-          concat_ws("_", (0 until RowsPerBand).map(j =>
-            element_at(col("sig"), b * RowsPerBand + j + 1)): _*)
-        }: _*)).as(Seq("band", "bucket")))
+      val banded = bandedOf(m)
       val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
         .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
           Seq("band", "bucket"))
@@ -397,6 +393,72 @@ object TextOps {
     * while template/boilerplate keys are excluded. */
   private[queries] val LshBucketCap = 32
 
+  /** The (doc_id, band, bucket) exploded banding of the MinHash
+    * signature table — the shared first step of q29, q131, and the q132
+    * profile (identical expression in all three, factored so the
+    * banding cannot drift between the enumerators and the instrument
+    * that prices them). */
+  private def bandedOf(m: DataFrame): DataFrame =
+    m.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        concat_ws("_", (0 until RowsPerBand).map(j =>
+          element_at(col("sig"), b * RowsPerBand + j + 1)): _*)
+      }: _*)).as(Seq("band", "bucket")))
+
+  /** LSH candidate-work profile — the noise-free WORK instrument for
+    * the dedup stage (SURVEY §8.9). The r15 scale bench measured q131's
+    * fresh-JVM cpu growing 15–17× for 10× input against 11.2× output
+    * rows, and the adjudication ("the bounded-regime cap transition:
+    * sub-cap buckets grow quadratically until the per-key Cap² ceiling
+    * flattens the total") was argued from the operator's structure —
+    * this query makes it measurable: one row of exact integers giving
+    * the bucket count, the over-cap bucket count, and the candidate
+    * enumeration volume Σ C(bsz, 2) of the exact (q29) and bounded
+    * (q131) forms. Candidate counts are a deterministic function of the
+    * corpus (no timer, no session state), so their per-scale ratios
+    * adjudicate any cpu flag on the pair enumerators the way output
+    * rows adjudicate the smaller queries. */
+  val lshCandidateProfile = Q(
+    "q132_lsh_candidate_profile",
+    (s, d) => {
+      val bs = bandedOf(signatures(s, d))
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+      bs.agg(
+        count(lit(1)).as("buckets"),
+        sum(when(col("bsz") > LshBucketCap, 1L).otherwise(0L))
+          .as("buckets_over_cap"),
+        sum(expr("(bsz * (bsz - 1)) DIV 2")).as("exact_cand_pairs"),
+        sum(when(col("bsz") <= LshBucketCap,
+            expr("(bsz * (bsz - 1)) DIV 2")).otherwise(0L))
+          .as("bounded_cand_pairs"))
+    },
+    Some {
+      val mhCols = minhashCoef.zipWithIndex.map { case ((a, b), k) =>
+        s"min(($a * hv + $b) % $P) AS mh$k"
+      }.mkString(", ")
+      val bandSelects = (0 until Bands).map { b =>
+        val bucket = (0 until RowsPerBand)
+          .map(j => s"mh${b * RowsPerBand + j}").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $bucket AS bucket FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH sh AS ($shinglesSql),
+          hv AS (SELECT doc_id, ${h32Sql("s")} AS hv FROM sh),
+          m AS (SELECT doc_id, $mhCols FROM hv GROUP BY doc_id),
+          banded AS ($bandSelects),
+          bs AS (SELECT band, bucket, count(*) AS bsz
+                 FROM banded GROUP BY band, bucket)
+          SELECT count(*) AS buckets,
+            CAST(sum(CASE WHEN bsz > $LshBucketCap THEN 1 ELSE 0 END) AS BIGINT)
+              AS buckets_over_cap,
+            CAST(sum((bsz * (bsz - 1)) // 2) AS BIGINT) AS exact_cand_pairs,
+            CAST(sum(CASE WHEN bsz <= $LshBucketCap
+                     THEN (bsz * (bsz - 1)) // 2 ELSE 0 END) AS BIGINT)
+              AS bounded_cand_pairs
+          FROM bs"""
+    }
+  )
+
   /** q29 with the at-scale guard the SCALEBENCH r14 flag demanded:
     * identical banding, but a (band, bucket) key whose population
     * exceeds [[LshBucketCap]] contributes NO pairs. Rationale (the
@@ -414,11 +476,7 @@ object TextOps {
     "q131_minhash_pairs_bounded",
     (s, d) => {
       val m = signatures(s, d).cache()
-      val banded = m.select(col("doc_id"),
-        posexplode(array((0 until Bands).map { b =>
-          concat_ws("_", (0 until RowsPerBand).map(j =>
-            element_at(col("sig"), b * RowsPerBand + j + 1)): _*)
-        }: _*)).as(Seq("band", "bucket")))
+      val banded = bandedOf(m)
       val keep = banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("bsz"))
         .where(col("bsz") <= LshBucketCap)
@@ -1448,6 +1506,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(tokenCount, textQuality, langId, exactDedup,
     ngramJaccard, minhashSig, minhashPairs, minhashPairsBounded,
+    lshCandidateProfile,
     simhash, fingerprint,
     wordNgramJaccard, dedupComponents, repetition, contamination,
     cleanCorpus, dataMixture, lengthHistogram, sampledHeavyHitters,
