@@ -101,6 +101,17 @@ def metrics(doc):
             ctx.append(f"FAILED QUERIES={doc['failed']}")
         ctx.append(f"heap_after_gc_mb_{t}x="
                    f"{doc.get(f'heap_after_gc_mb_{t}x')}")
+        # r15+ dedup-work self-adjudication: candidate volumes are exact
+        # integers, so a cpu flag on q29/q131 reads against these ratios
+        if f"lsh_candidates_{t}x" in doc:
+            c1, cn = doc.get("lsh_candidates_1x"), doc.get(f"lsh_candidates_{t}x")
+            if c1 and cn:
+                ctx.append(
+                    "lsh candidate work: exact "
+                    f"{c1['exact_cand_pairs']} -> {cn['exact_cand_pairs']} "
+                    f"({cn['exact_cand_pairs'] / max(c1['exact_cand_pairs'], 1):.1f}x), "
+                    f"bounded {c1['bounded_cand_pairs']} -> {cn['bounded_cand_pairs']} "
+                    f"({cn['bounded_cand_pairs'] / max(c1['bounded_cand_pairs'], 1):.1f}x)")
     else:
         raise ValueError(f"unknown metric kind: {kind!r}")
     return out, ctx
