@@ -242,4 +242,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"q131 degraded to an unkeyed join:\n$p")
   }
+
+  test("q132 candidate profile is aggregates over one scan — no join") {
+    // The dedup-stage work instrument (SURVEY §8.9) must stay cheaper
+    // than what it measures: bucket sizes are one aggregate over the
+    // shared banding and the profile row is a second global aggregate —
+    // a JOIN appearing here would mean it started enumerating the very
+    // pairs it exists to count.
+    val p = plan("q132_lsh_candidate_profile")
+    assert(!p.contains("Join"), s"q132 grew a join:\n$p")
+    assert(p.contains("HashAggregate"), s"q132 lost its aggregate:\n$p")
+    assert(!p.contains("Window"), s"q132 plans a window:\n$p")
+  }
 }
