@@ -30,12 +30,30 @@ candidate run is worse than SPREAD (1.8) × the best baseline run
 (for lower-better; baseline-best/SPREAD for higher-better) — one bad
 run on a shared host is noise, all runs bad is a regression.
 
+Hard-fail additions (r16, ADVICE r15 medium): a candidate scale_bench
+doc with a nonempty `failed` list is FLAGGED outright (a query that
+crashes at 10x must not exit 0 because its metrics silently dropped
+out of the comparison), and any metric present in EVERY baseline run
+but absent from the candidate is FLAGGED as missing (the same
+regression class seen from the other side).
+
+AT-CEILING rows (r16, VERDICT r15 item 6): in a multi-rate stream
+sweep, a config offered ≈ the most throughput its family ever
+demonstrated in the baseline (offered ≥ 1/1.15 of the family's best
+events/s at ANY rate) sits at its own measured ceiling — a run either
+holds it or slips (the r15 catalog pair's one flag). Such rows are
+reported as CEIL context, not gated; rows with demonstrated headroom
+above them keep the gate. Single-rate families (the classic configs)
+have no headroom evidence and always keep the gate.
+
 Exit 1 if anything flagged, 2 on unusable input, else 0.
 """
 import json
+import re
 import sys
 
 SPREAD = 1.8
+CEIL_BAND = 1.15
 
 
 def load(paths):
@@ -134,20 +152,54 @@ def main(argv):
         print(e)
         return 2
 
+    # stream-family ceiling map from the BASELINE runs: per config
+    # family (key with the trailing rate segment stripped), the set of
+    # offered rates and the best events/s ever demonstrated — the
+    # at-ceiling adjudication needs demonstrated-headroom evidence
+    fam_rates, fam_ceiling, cfg_info = {}, {}, {}
+    for _, d in base:
+        if d.get("metric") != "stream_bench":
+            continue
+        for cfg, c in d.get("configs", {}).items():
+            fam = re.sub(r"@r?\d+$", "", cfg)
+            off = float(c.get("offered", 0))
+            eps = float(c["events_per_sec"])
+            cfg_info[cfg] = (fam, off)
+            fam_rates.setdefault(fam, set()).add(off)
+            fam_ceiling[fam] = max(fam_ceiling.get(fam, 0.0), eps)
+
+    def at_ceiling(name):
+        cfg = name.rsplit(".", 1)[0]
+        if cfg not in cfg_info:
+            return False
+        fam, off = cfg_info[cfg]
+        return (len(fam_rates.get(fam, ())) >= 2
+                and off > 0
+                and fam_ceiling.get(fam, 0.0) < off * CEIL_BAND)
+
     bnames = set.intersection(*(set(m) for _, (m, _) in bm))
     cnames = set.intersection(*(set(m) for _, (m, _) in cm))
     names = sorted(bnames & cnames)
     print(f"baseline runs: {len(bm)}  candidate runs: {len(cm)}  "
           f"common metrics: {len(names)}")
+    flagged = []
     for label, only in (("baseline-only", sorted(bnames - cnames)),
                         ("candidate-only", sorted(cnames - bnames))):
         if only:
             print(f"NOT COMPARED ({label}, {len(only)}): {', '.join(only)}")
+    # a metric every baseline run carried but the candidate lost is a
+    # regression, not a shrug (ADVICE r15) — unless the row sits at its
+    # measured ceiling (a non-steady at-ceiling run legitimately drops
+    # its p50)
+    for m in sorted(bnames - cnames):
+        if at_ceiling(m):
+            print(f"CEIL missing {m}: at-ceiling row, not gated")
+        else:
+            flagged.append(f"missing:{m}")
     if not names:
         print("no comparable metrics")
         return 2
 
-    flagged = []
     for n in names:
         hib = bm[0][1][0][n][1]
         bvals = [m[n][0] for _, (m, _) in bm]
@@ -160,10 +212,18 @@ def main(argv):
             best = min(bvals)
             bad = min(cvals) > SPREAD * max(best, 1.0)
             arrow = f"{best:.1f} -> {min(cvals):.1f} (best runs)"
+        if bad and at_ceiling(n):
+            print(f"CEIL {n}: {arrow} (at-ceiling, context)")
+            continue
         marker = "FLAG" if bad else "  ok"
         print(f"{marker} {n}: {arrow}")
         if bad:
             flagged.append(n)
+    # a candidate run where any scale query FAILED must not exit 0 just
+    # because its metrics dropped out of the comparison (ADVICE r15)
+    for p, d in cand:
+        if d.get("metric") == "scale_bench" and d.get("failed"):
+            flagged.append(f"failed_queries[{p}]:{','.join(d['failed'])}")
     for _, (_, ctx) in bm[:1] + cm[:1]:
         for c in ctx:
             print(f"  context: {c}")
