@@ -85,7 +85,10 @@ def metrics(doc):
                   # r15+ IVF-PQ lifecycle arm
                   "ivfpq_probe_ms_before", "ivfpq_probe_ms_after",
                   "ivfpq_compact_ms", "ivfpq_rebuild_ms",
-                  "ivfpq_probe_ms_retrained"):
+                  "ivfpq_probe_ms_retrained",
+                  # r16+ resize arm (nlist ~ sqrt(N) rebuild)
+                  "rebuild_resized_ms", "probe_ms_resized",
+                  "ivfpq_rebuild_resized_ms", "ivfpq_probe_ms_resized"):
             if k in doc:
                 out[k] = (float(doc[k]), False)
         ctx.append(f"files {doc.get('files_before')} -> "

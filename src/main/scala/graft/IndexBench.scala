@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   * the PQ-family probes drifting MOST under frozen quantizers, so the
   * composed index is where the retrain policy actually bites.
   *
+  * RESIZE ARM (r16, VERDICT r15 item 4): the retrain arm answered
+  * "same-K refit never pays"; this arm measures the rebuild the policy
+  * says IS worth paying — re-SIZING to nlist ≈ √N of the grown corpus
+  * (`resized_k`, e.g. 16 → 142 at the 10× tiling). `probe_ms_resized`
+  * vs the frozen `probe_ms_after` prices the resize; `resized_
+  * breakeven_probes` is the probe volume after which it has paid for
+  * itself. For IVF-PQ only the coarse quantizer resizes — the
+  * per-subspace codebooks keep their fixed 256-code budget, which
+  * corpus size does not change.
+  *
   * Prints ONE JSON line. Probe latency is the median of `reps` full
   * probe executions (assign → pruned cell scan → per-probe top-k,
   * collect()ed), after one untimed warmup pass; medians because a
@@ -127,6 +137,24 @@ object IndexBench {
     val gain = msAfter - msRetrained
     val breakeven = if (gain > 0) math.round(rebuildMs / gain) else -1L
 
+    // RESIZE arm (r16, VERDICT r15 item 4): the retrain arm re-fits at
+    // the SAME K, and measured that it never pays; §8.11's committed
+    // policy — "rebuild only to RESIZE, nlist ≈ √N at corpus doublings"
+    // — was extrapolated from the streaming serve's catalog sweep. This
+    // arm measures it on the index itself: rebuild on the full grown
+    // corpus with K' = ceil(√rows) (FAISS's sizing rule; 16 → ~45 at
+    // 1×, ~142 at 10×) and probe — the frozen-vs-resized probe gap is
+    // the number the growth policy rests on.
+    val resizedK = math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-ivf-resize").toString
+    val t1b = System.nanoTime()
+    graft.rec.IvfIndex.build(e, dir3, k = resizedK, iters = 3)
+    val rebuildResizedMs = (System.nanoTime() - t1b) / 1e6
+    val msResized = probeMedianMs(dir3)
+    val gainResized = msAfter - msResized
+    val breakevenResized =
+      if (gainResized > 0) math.round(rebuildResizedMs / gainResized) else -1L
+
     // ---- the same lifecycle for the COMPOSED index (IVF-PQ) ----
     // The retrain question is sharpest here: the r14/r15 scale benches
     // measured the PQ-family probes drifting most under frozen
@@ -166,6 +194,19 @@ object IndexBench {
     val pqMsRetrained = pqProbeMedianMs(pqDir2)
     val pqGain = pqMsAfter - pqMsRetrained
     val pqBreakeven = if (pqGain > 0) math.round(pqRebuildMs / pqGain) else -1L
+    // resize arm for the composed index: only the COARSE quantizer
+    // resizes (nlist ≈ √N — cell population is what drifts with corpus
+    // growth); the per-subspace codebooks stay at their fixed 256-code
+    // budget, which corpus size does not change
+    val pqDir3 = java.nio.file.Files.createTempDirectory("graft-ivfpq-resize").toString
+    val t3b = System.nanoTime()
+    graft.rec.IvfPqIndex.build(e, pqDir3, ivfK = resizedK)
+    val pqRebuildResizedMs = (System.nanoTime() - t3b) / 1e6
+    val pqMsResized = pqProbeMedianMs(pqDir3)
+    val pqGainResized = pqMsAfter - pqMsResized
+    val pqBreakevenResized =
+      if (pqGainResized > 0) math.round(pqRebuildResizedMs / pqGainResized)
+      else -1L
 
     println(
       s"""{"metric":"ivf_maintenance","sf_dir":"$sfDir","increments":$increments,""" +
@@ -178,6 +219,10 @@ object IndexBench {
       s""""rebuild_ms":${math.round(rebuildMs)},""" +
       s""""probe_ms_retrained":${math.round(msRetrained)},""" +
       s""""breakeven_probes":$breakeven,""" +
+      s""""resized_k":$resizedK,""" +
+      s""""rebuild_resized_ms":${math.round(rebuildResizedMs)},""" +
+      s""""probe_ms_resized":${math.round(msResized)},""" +
+      s""""resized_breakeven_probes":$breakevenResized,""" +
       s""""ivfpq_files_before":$pqFilesBefore,"ivfpq_files_after":$pqFilesAfter,""" +
       s""""ivfpq_cells_compacted":${pqStats.cells_compacted},""" +
       s""""ivfpq_probe_ms_before":${math.round(pqMsBefore)},""" +
@@ -185,7 +230,10 @@ object IndexBench {
       s""""ivfpq_compact_ms":${math.round(pqCompactMs)},""" +
       s""""ivfpq_rebuild_ms":${math.round(pqRebuildMs)},""" +
       s""""ivfpq_probe_ms_retrained":${math.round(pqMsRetrained)},""" +
-      s""""ivfpq_breakeven_probes":$pqBreakeven}""")
+      s""""ivfpq_breakeven_probes":$pqBreakeven,""" +
+      s""""ivfpq_rebuild_resized_ms":${math.round(pqRebuildResizedMs)},""" +
+      s""""ivfpq_probe_ms_resized":${math.round(pqMsResized)},""" +
+      s""""ivfpq_resized_breakeven_probes":$pqBreakevenResized}""")
     spark.stop()
   }
 }

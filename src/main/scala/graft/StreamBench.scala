@@ -67,6 +67,17 @@ import graft.stream.{RatingEvent, StreamOps}
   * preopt pair ran the fixed r14 K=16 and measured the ANN ceiling
   * tracking its 12.5% scan fraction; the committed preopt artifacts
   * keep that trail).
+  *
+  * DPP MODE (r16, VERDICT r15 item 1): `SPARK_GRAFT_STREAM_DPP=1` with
+  * a catalog spec swaps each group's config pair to broadcast-ANN vs
+  * the cid-PARTITIONED serve ([[StreamOps.topNForUsersAnnPartitioned]]
+  * — `serve_dpp_evict@iN@rR` keys): the catalog lives as partitioned
+  * parquet, each batch reads only the touched cells, nothing
+  * catalog-sized is ever broadcast or cached. This is the arm that
+  * answers "what survives a 2M-item catalog": the broadcast-ANN serve
+  * re-broadcasts ~1 GB of cells per micro-batch there, the partitioned
+  * serve moves only routed users and probed cells. Both index builds
+  * are timed per group (`ann_iN` / `dpp_iN` in `index_build_ms`).
   */
 object StreamBench {
 
@@ -130,24 +141,19 @@ object StreamBench {
     }
 
     def run(label: String, idle: Option[java.time.Duration],
-            serve: Boolean, rate: Int,
-            items: DataFrame, nItems: Long,
-            serveIdx: Option[(DataFrame, DataFrame)] = None): String = {
+            serveFn: Option[DataFrame => DataFrame], rate: Int,
+            items: DataFrame, nItems: Long): String = {
       val interests = StreamOps.interestStream(
         StreamOps.enrich(events(rate, nItems), items), dim, idleTimeout = idle)
-      val writer =
-        if (serve)
+      val writer = serveFn match {
+        case Some(f) =>
           interests.writeStream.outputMode("append")
             .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.stream.UserInterest], _: Long) =>
-              val top = serveIdx match {
-                case Some((cent, cells)) =>
-                  StreamOps.topNForUsersAnn(df.toDF(), cent, cells, 10)
-                case None => StreamOps.topNForUsers(df.toDF(), items, 10)
-              }
-              top.write.format("noop").mode("overwrite").save()
+              f(df.toDF()).write.format("noop").mode("overwrite").save()
             }
-        else
+        case None =>
           interests.writeStream.outputMode("append").format("noop")
+      }
       val q = writer.option("checkpointLocation",
           java.nio.file.Files.createTempDirectory(s"graft-sb-$label").toString)
         .start()
@@ -207,47 +213,92 @@ object StreamBench {
     }
 
     val buildMsParts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // DPP mode (r16, VERDICT r15 item 1): per catalog group, run the
+    // broadcast-ANN serve against the cid-PARTITIONED serve — the arm
+    // that never broadcasts the catalog. Past ~1M items the broadcast
+    // form re-collects and re-broadcasts ~1 GB of cells EVERY
+    // micro-batch (foreachBatch re-plans per trigger); the partitioned
+    // form reads only the touched cells' parquet partitions. Exact
+    // serve is omitted here — the r15 catalog sweep already measured it
+    // dead an order of magnitude below these catalog sizes.
+    val dppMode = sys.env.get("SPARK_GRAFT_STREAM_DPP").contains("1")
     val parts = (catalog, sweep) match {
       case (Some(groups), _) =>
         groups.flatMap { case (t, rs) =>
           val (items, nItems) = tileItems(t)
-          // eager, timed build — no micro-batch (and no first-run skew
-          // between the exact and ANN configs) ever pays the k-means
-          var idx: (DataFrame, DataFrame) = null
-          // cell count scales with the catalog (serveCells: nlist ≈ √N,
-          // capped) — the r15 preopt sweep ran the r14 fixed K=16 and
-          // measured the ANN ceiling tracking its 12.5% scan fraction
-          // iters = 8: Lloyd at the K=64 cap converges slower than the
-          // r14 K=16 default (measured recall 0.936 at 3 rounds vs
-          // 0.974 at 8, AnnServeSpec many-topic corpus); training runs
-          // on the bounded sample, so the extra rounds don't scale
-          // with the catalog
-          buildMsParts(s"i$nItems") = timedMs {
-            idx = StreamOps.buildServeIndex(items,
-              k = StreamOps.serveCells(nItems), iters = 8)
+          if (dppMode) {
+            var annIdx: (DataFrame, DataFrame) = null
+            buildMsParts(s"ann_i$nItems") = timedMs {
+              annIdx = StreamOps.buildServeIndex(items,
+                k = StreamOps.serveCells(nItems), iters = 8)
+            }
+            val dppDir = java.nio.file.Files
+              .createTempDirectory(s"graft-sb-dpp-$nItems").toString
+            var dppIdx: (DataFrame, DataFrame) = null
+            buildMsParts(s"dpp_i$nItems") = timedMs {
+              dppIdx = StreamOps.buildServeIndexPartitioned(items, dppDir,
+                k = StreamOps.serveCellsPartitioned(nItems))
+            }
+            val out = rs.flatMap { r => Seq(
+              run(s"serve_ann_evict@i$nItems@r$r", idle,
+                Some(df => StreamOps.topNForUsersAnn(df, annIdx._1, annIdx._2, 10)),
+                r, items, nItems),
+              run(s"serve_dpp_evict@i$nItems@r$r", idle,
+                Some(df => StreamOps.topNForUsersAnnPartitioned(
+                  df, dppIdx._1, dppIdx._2, 10)),
+                r, items, nItems))
+            }
+            annIdx._1.unpersist(); annIdx._2.unpersist()
+            dppIdx._1.unpersist()
+            if (t != 1) items.unpersist()
+            out
+          } else {
+            // eager, timed build — no micro-batch (and no first-run skew
+            // between the exact and ANN configs) ever pays the k-means
+            var idx: (DataFrame, DataFrame) = null
+            // cell count scales with the catalog (serveCells: nlist ≈ √N,
+            // capped) — the r15 preopt sweep ran the r14 fixed K=16 and
+            // measured the ANN ceiling tracking its 12.5% scan fraction
+            // iters = 8: Lloyd at the K=64 cap converges slower than the
+            // r14 K=16 default (measured recall 0.936 at 3 rounds vs
+            // 0.974 at 8, AnnServeSpec many-topic corpus); training runs
+            // on the bounded sample, so the extra rounds don't scale
+            // with the catalog
+            buildMsParts(s"i$nItems") = timedMs {
+              idx = StreamOps.buildServeIndex(items,
+                k = StreamOps.serveCells(nItems), iters = 8)
+            }
+            val out = rs.flatMap { r => Seq(
+              run(s"serve_evict@i$nItems@r$r", idle,
+                Some(df => StreamOps.topNForUsers(df, items, 10)),
+                r, items, nItems),
+              run(s"serve_ann_evict@i$nItems@r$r", idle,
+                Some(df => StreamOps.topNForUsersAnn(df, idx._1, idx._2, 10)),
+                r, items, nItems))
+            }
+            idx._1.unpersist(); idx._2.unpersist()
+            if (t != 1) items.unpersist()
+            out
           }
-          val out = rs.flatMap { r => Seq(
-            run(s"serve_evict@i$nItems@r$r", idle, serve = true, r, items, nItems),
-            run(s"serve_ann_evict@i$nItems@r$r", idle, serve = true, r, items, nItems,
-              serveIdx = Some(idx)))
-          }
-          idx._1.unpersist(); idx._2.unpersist()
-          if (t != 1) items.unpersist()
-          out
         }
       case (None, Some(rs)) =>
         // eager build (ADVICE r14): forced before the first ANN run, not
         // inside its first micro-batch
         val idx = StreamOps.buildServeIndex(baseItems)
         rs.flatMap(r => Seq(
-          run(s"state_evict@$r", idle, serve = false, r, baseItems, nBaseItems),
-          run(s"serve_evict@$r", idle, serve = true, r, baseItems, nBaseItems),
-          run(s"serve_ann_evict@$r", idle, serve = true, r, baseItems, nBaseItems,
-            serveIdx = Some(idx))))
+          run(s"state_evict@$r", idle, None, r, baseItems, nBaseItems),
+          run(s"serve_evict@$r", idle,
+            Some(df => StreamOps.topNForUsers(df, baseItems, 10)),
+            r, baseItems, nBaseItems),
+          run(s"serve_ann_evict@$r", idle,
+            Some(df => StreamOps.topNForUsersAnn(df, idx._1, idx._2, 10)),
+            r, baseItems, nBaseItems)))
       case (None, None) => Seq(
-        run("state_noevict", None, serve = false, rate, baseItems, nBaseItems),
-        run("state_evict", idle, serve = false, rate, baseItems, nBaseItems),
-        run("serve_evict", idle, serve = true, rate, baseItems, nBaseItems))
+        run("state_noevict", None, None, rate, baseItems, nBaseItems),
+        run("state_evict", idle, None, rate, baseItems, nBaseItems),
+        run("serve_evict", idle,
+          Some(df => StreamOps.topNForUsers(df, baseItems, 10)),
+          rate, baseItems, nBaseItems))
     }
     val ratesJson = sweep.getOrElse(Seq(rate)).mkString("[", ",", "]")
     val catalogJson = catalog.map(gs =>
