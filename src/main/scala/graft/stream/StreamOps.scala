@@ -324,15 +324,18 @@ object StreamOps {
   def buildServeIndex(itemFeatures: DataFrame, k: Int = 16,
                       iters: Int = 3): (DataFrame, DataFrame) = {
     GraftFunctions.register(itemFeatures.sparkSession)
-    val vecs = itemFeatures
-      .select(col("itemId").as("vec_id"),
-        l2normalize(col("features")).as("emb"))
     // train on the whole catalog up to the cap, else on a deterministic
-    // hash-ordered sample (vec_id tiebreak keeps it total-ordered)
-    val train =
-      if (itemFeatures.count() <= QuantizerSampleCap) vecs
-      else vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    // hash-ordered sample (vec_id tiebreak keeps it total-ordered);
+    // sample the RAW rows first and normalize only the survivors — the
+    // normalize is an interpreted higher-order expression, and folding
+    // it under the sample's sort evaluates it per catalog row
+    val raw = itemFeatures.select(col("itemId").as("vec_id"), col("features"))
+    val sampledRaw =
+      if (itemFeatures.count() <= QuantizerSampleCap) raw
+      else raw.orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(QuantizerSampleCap)
+    val train = sampledRaw
+      .select(col("vec_id"), l2normalize(col("features")).as("emb"))
     val trainC = train.cache()
     val cent = graft.rec.Clustering.lloydKMeans(trainC, k, iters).cache()
     cent.count()
@@ -444,14 +447,23 @@ object StreamOps {
     val spark = itemFeatures.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
-    val vecs = itemFeatures
-      .select(col("itemId"), l2normalize(col("features")).as("emb"))
-    val train =
-      if (itemFeatures.count() <= QuantizerSampleCap) vecs
-      else vecs.orderBy(xxhash64(col("itemId")), col("itemId"))
+    // sample the RAW rows first, normalize only the survivors: the
+    // normalize is an interpreted higher-order expression, and folding
+    // it under the sample's sort would evaluate it for every catalog
+    // row instead of for QuantizerSampleCap of them
+    val raw = itemFeatures.select(col("itemId"), col("features"))
+    val sampled =
+      if (itemFeatures.count() <= QuantizerSampleCap) raw
+      else raw.orderBy(xxhash64(col("itemId")), col("itemId"))
         .limit(QuantizerSampleCap)
+    val train = sampled.select(l2normalize(col("features")).as("emb"))
+    // init "random" (seeded): k-means|| init runs a driver-local
+    // k-means++ over ~k·log(n) candidates — minutes at K in the
+    // thousands — while seeded random init plus the full Lloyd budget
+    // converges as well for cell PARTITIONING purposes (recall is
+    // spec-gated either way)
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(42L).setMaxIter(iters)
+      .setK(k).setSeed(42L).setMaxIter(iters).setInitMode("random")
       .fit(train.select(
         org.apache.spark.ml.functions.array_to_vector(col("emb"))
           .as("features")))
@@ -459,21 +471,34 @@ object StreamOps {
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cid", "c")
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
-    // one broadcast-scored codegen pass: stream side the catalog, build
-    // side the K centroids, partial min_by per item — the argmax-cosine
-    // twin of [[nearestCellsCol]]'s (score desc, cid asc) contract, so
-    // an item's own cell is its probe's top-1 (self-retrieval)
-    val assigned = itemFeatures
+    // Assignment must stay inside HASH aggregation: the scored relation
+    // is |catalog| × K rows (4 BILLION at 2M items × 2000 cells), and
+    // any aggregate whose buffer is not fixed-width primitive
+    // (first(array), min_by over a struct ordering) plans as
+    // SortAggregate — a full sort of the cross join, terabytes of
+    // spill, the failure that killed the first 2M-item build. So the
+    // argmax runs as TWO primitive-buffer HashAggregate passes over the
+    // (re-evaluated, purely streaming) scored plan — max score per
+    // item, then min cid over the argmax set — which is exactly
+    // [[nearestCellsCol]]'s (score desc, cid asc) contract, so an
+    // item's own cell is its probe's top-1 (self-retrieval); features
+    // re-join at the end on itemId (catalog-sized equi-join, once, at
+    // build time).
+    def scored = itemFeatures
+      .select(col("itemId"), col("features"))
       .crossJoin(broadcast(cent.select(col("cid").cast("long").as("__cid"),
         col("c").as("__c"))))
       .withColumn("__s", coalesce(
         GraftFunctions.cosineSimilarity(col("features"), col("__c")),
         lit(-1.0)))
-      .groupBy(col("itemId"))
-      .agg(first(col("features")).as("features"),
-        min_by(col("__cid"),
-          struct((-col("__s")).as("negScore"), col("__cid"))).as("cid"))
+    val best = scored.groupBy(col("itemId")).agg(max(col("__s")).as("__best"))
+    val assigned = scored
+      .join(broadcast(best), Seq("itemId"))
+      .where(col("__s") === col("__best"))
+      .groupBy(col("itemId")).agg(min(col("__cid")).as("cid"))
       .withColumn("cid", col("cid").cast("int"))
+      .join(itemFeatures, Seq("itemId"))
+      .select(col("itemId"), col("features"), col("cid"))
     assigned.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
     val centLoaded = spark.read.parquet(s"$dir/centroids").cache()
