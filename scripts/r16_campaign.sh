@@ -32,8 +32,13 @@ phase_dpp() {
 }
 
 phase_catalog() {
+  # local[32] — the r15 catalog_k64 baselines ran at 32 (SURVEY 8.10);
+  # a 4-cpu run reads 2-4x lower ceilings and is not comparable. 16 g:
+  # 32 concurrent tasks against the 200k-item broadcast OOM the 8g
+  # default.
   for t in a b; do
-    SPARK_GRAFT_STREAM_CATALOG="1:320000,640000;10:80000,160000,320000,640000;100:20000,40000,80000,160000" \
+    SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
+      SPARK_GRAFT_STREAM_CATALOG="1:320000,640000;10:80000,160000,320000,640000;100:20000,40000,80000,160000" \
       SPARK_GRAFT_SF_DIR=$SF \
       sbt -batch "runMain graft.StreamBench" > /tmp/r16_catalog_$t.log 2>&1
     echo "catalog_$t rc=$?"
@@ -57,8 +62,10 @@ phase_index() {
 }
 
 phase_detail() {
+  # local[32] — the committed BENCH_r{N} / detail baselines all run 32
   for t in a b; do
-    SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_BENCH_DETAIL=/root/repo/BENCH_DETAIL_r16_$t.json \
+    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=$SF \
+      SPARK_GRAFT_BENCH_DETAIL=/root/repo/BENCH_DETAIL_r16_$t.json \
       sbt -batch "runMain graft.Bench" > /tmp/r16_bench_$t.log 2>&1
     echo "bench_$t rc=$?"
   done
