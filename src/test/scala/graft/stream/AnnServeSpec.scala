@@ -156,6 +156,13 @@ class AnnServeSpec extends SparkSpec {
       s"the one exchange does not hash on userId:\n$p")
   }
 
+  test("serveCellsPartitioned: uncapped √(nprobe·N) law, floor 64, cap 4096") {
+    assert(StreamOps.serveCellsPartitioned(2000) == 64)        // floor
+    assert(StreamOps.serveCellsPartitioned(200000) == 633)     // ceil(√400000)
+    assert(StreamOps.serveCellsPartitioned(2000000) == 2000)   // the 2M-item arm
+    assert(StreamOps.serveCellsPartitioned(100000000L) == 4096) // cap
+  }
+
   test("partitioned serve: recall holds, cid partition filters pushed, catalog never broadcast") {
     // the past-the-broadcast-regime arm (VERDICT r15 item 1): cells live
     // as cid-partitioned parquet, each batch reads ONLY touched cells
