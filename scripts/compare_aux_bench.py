@@ -37,14 +37,23 @@ out of the comparison), and any metric present in EVERY baseline run
 but absent from the candidate is FLAGGED as missing (the same
 regression class seen from the other side).
 
-AT-CEILING rows (r16, VERDICT r15 item 6): in a multi-rate stream
-sweep, a config offered ≈ the most throughput its family ever
-demonstrated in the baseline (offered ≥ 1/1.15 of the family's best
-events/s at ANY rate) sits at its own measured ceiling — a run either
-holds it or slips (the r15 catalog pair's one flag). Such rows are
-reported as CEIL context, not gated; rows with demonstrated headroom
-above them keep the gate. Single-rate families (the classic configs)
-have no headroom evidence and always keep the gate.
+AT-CEILING rows (r16, VERDICT r15 item 6; TIGHTENED r17 per ADVICE
+r16): in a multi-rate stream sweep, a config offered ≈ the most
+throughput its family ever demonstrated in the baseline (offered ≥
+1/1.15 of the family's best events/s at ANY rate) MAY sit at its own
+measured ceiling — but proximity alone is not evidence: the r16 rule
+exempted the TOP offered rate of every family unconditionally, so a
+throughput collapse on a row the baseline sustained cleanly (e.g.
+the dpp 2M@40k headline) would have printed CEIL and exited 0. A row
+is therefore exempt only when the BASELINE ITSELF showed at-ceiling
+behavior on that config — some baseline run non-steady, or
+events_per_sec < 0.9 × offered (the bistable regime the rule was
+written for). Rows the baseline held cleanly in every run keep the
+gate regardless of where they sit. Single-rate families (the classic
+configs) have no headroom evidence and always keep the gate. The
+missing-metric exemption is likewise restricted to batch_ms_p50 (the
+one metric a non-steady run legitimately drops); a missing
+events_per_sec means the config never ran and always flags.
 
 Exit 1 if anything flagged, 2 on unusable input, else 0.
 """
@@ -77,6 +86,11 @@ def metrics(doc):
             if d.get("steady", True):
                 out[f"{cfg}.batch_ms_p50"] = (float(d["batch_ms_p50"]), False)
             ctx.append(f"{cfg}: state_rows={d.get('state_rows_final')}")
+        # index build times are one-time stream-start costs, reported
+        # like the index-bench rebuild arms: context, never gated
+        if doc.get("index_build_ms"):
+            ctx.append("index_build_ms: " + ", ".join(
+                f"{k}={v}" for k, v in doc["index_build_ms"].items()))
     elif kind == "ivf_maintenance":
         for k in ("probe_ms_before", "probe_ms_after", "compact_ms",
                   # r15+ retrain arm (absent in older files -> simply
@@ -158,8 +172,10 @@ def main(argv):
     # stream-family ceiling map from the BASELINE runs: per config
     # family (key with the trailing rate segment stripped), the set of
     # offered rates and the best events/s ever demonstrated — the
-    # at-ceiling adjudication needs demonstrated-headroom evidence
-    fam_rates, fam_ceiling, cfg_info = {}, {}, {}
+    # at-ceiling adjudication needs demonstrated-headroom evidence —
+    # plus per-config BASELINE INSTABILITY evidence (r17, ADVICE r16):
+    # a row is only at-ceiling if the baseline itself slipped there
+    fam_rates, fam_ceiling, cfg_info, cfg_unstable = {}, {}, {}, {}
     for _, d in base:
         if d.get("metric") != "stream_bench":
             continue
@@ -170,6 +186,9 @@ def main(argv):
             cfg_info[cfg] = (fam, off)
             fam_rates.setdefault(fam, set()).add(off)
             fam_ceiling[fam] = max(fam_ceiling.get(fam, 0.0), eps)
+            unstable = (not c.get("steady", True)) or (off > 0
+                                                       and eps < 0.9 * off)
+            cfg_unstable[cfg] = cfg_unstable.get(cfg, False) or unstable
 
     def at_ceiling(name):
         cfg = name.rsplit(".", 1)[0]
@@ -178,7 +197,8 @@ def main(argv):
         fam, off = cfg_info[cfg]
         return (len(fam_rates.get(fam, ())) >= 2
                 and off > 0
-                and fam_ceiling.get(fam, 0.0) < off * CEIL_BAND)
+                and fam_ceiling.get(fam, 0.0) < off * CEIL_BAND
+                and cfg_unstable.get(cfg, False))
 
     bnames = set.intersection(*(set(m) for _, (m, _) in bm))
     cnames = set.intersection(*(set(m) for _, (m, _) in cm))
@@ -191,12 +211,13 @@ def main(argv):
         if only:
             print(f"NOT COMPARED ({label}, {len(only)}): {', '.join(only)}")
     # a metric every baseline run carried but the candidate lost is a
-    # regression, not a shrug (ADVICE r15) — unless the row sits at its
-    # measured ceiling (a non-steady at-ceiling run legitimately drops
-    # its p50)
+    # regression, not a shrug (ADVICE r15) — unless it is the p50 of an
+    # at-ceiling row (the ONE metric a non-steady run legitimately
+    # drops; a missing events_per_sec means the config never ran and
+    # always flags — ADVICE r16)
     for m in sorted(bnames - cnames):
-        if at_ceiling(m):
-            print(f"CEIL missing {m}: at-ceiling row, not gated")
+        if m.endswith(".batch_ms_p50") and at_ceiling(m):
+            print(f"CEIL missing {m}: at-ceiling row's p50, not gated")
         else:
             flagged.append(f"missing:{m}")
     if not names:

@@ -501,7 +501,17 @@ object ScaleBench {
           val verdict = if (r > n * 1.5) "superlinear" else "linear"
           name -> f"$b ratio $r%.1f vs band ${n * 1.5}%.1f -> $verdict"
         } ++
-        cpuFlagged.map(name => name -> "clean cpu ratio over band")
+        cpuFlagged.map { name =>
+          // distinguish an adjudicated clean-pair verdict from the
+          // flag-stands default when the probe pair never materialized
+          // (ADVICE r16: the artifact must not claim evidence it lacks)
+          val clean = cleanByQuery(name)
+          val cause =
+            if (clean.contains(1) && clean.contains(n))
+              "clean cpu ratio over band"
+            else "in-bench flag, no clean probe pair (flag stands)"
+          name -> cause
+        }
 
     /** Per-unit growth of a segment (s1→s2): ratio of cpu ratio to data
       * ratio — 1.0 is exactly linear, <1 sub-linear. */

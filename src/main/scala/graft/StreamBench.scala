@@ -112,14 +112,22 @@ object StreamBench {
       if (t == 1) (baseItems, nBaseItems)
       else {
         val maxId = baseItems.agg(max(col("itemId"))).head().getInt(0) + 1L
+        // the fixture reads as a couple of files; without the
+        // repartition the t× catalog inherits those few partitions and
+        // every downstream catalog pass (cell assignment, broadcast
+        // build) serializes. Past the r16 grid (t > 1000) partition
+        // count scales with rows (~50k rows/partition) so no cached
+        // block balloons to gigabytes; the r16-comparable groups keep
+        // the r16 partitioning untouched.
+        val nParts =
+          if (t > 1000) math.max(spark.sparkContext.defaultParallelism,
+            (t.toLong * nBaseItems / 50000L).toInt)
+          else spark.sparkContext.defaultParallelism
         val tiled = baseItems
           .crossJoin(broadcast(spark.range(t).select(col("id").as("__tile"))))
           .select((col("itemId") + col("__tile") * maxId).cast("int").as("itemId"),
             col("features"))
-          // the fixture reads as a couple of files; without this the t×
-          // catalog inherits those few partitions and every downstream
-          // catalog pass (cell assignment, broadcast build) serializes
-          .repartition(spark.sparkContext.defaultParallelism)
+          .repartition(nParts)
           .cache()
         (tiled, tiled.count())
       }
@@ -222,13 +230,30 @@ object StreamBench {
     // serve is omitted here — the r15 catalog sweep already measured it
     // dead an order of magnitude below these catalog sizes.
     val dppMode = sys.env.get("SPARK_GRAFT_STREAM_DPP").contains("1")
+    // r17 (VERDICT r16 item 3): the catalog axis's next decade (20M
+    // items) outruns TWO broadcast regimes at once — the broadcast-ANN
+    // serve measured dead at 2M, and the stream-static ENRICH join's
+    // broadcast of the full item-feature table (~10 GB at 20M × dim 64)
+    // against Spark's 8 GB broadcast cap. The serve index is the axis
+    // under test, not the enrich dimension, so groups beyond
+    // BroadcastArmCap (a) run the partitioned serve only and (b) bound
+    // the EVENT/ENRICH item space to the first HotItemCap items: a
+    // head-heavy event distribution over a catalog-sized serve index —
+    // the realistic 100-TB shape, where events reference a
+    // broadcastable hot set while the index serves the whole catalog.
+    val BroadcastArmCap = 4000000L
+    val HotItemCap = 2000000L
     val parts = (catalog, sweep) match {
       case (Some(groups), _) =>
         groups.flatMap { case (t, rs) =>
           val (items, nItems) = tileItems(t)
           if (dppMode) {
+            val huge = nItems > BroadcastArmCap
+            val enrichItems =
+              if (huge) items.where(col("itemId") < HotItemCap) else items
+            val eventSpace = if (huge) HotItemCap else nItems
             var annIdx: (DataFrame, DataFrame) = null
-            buildMsParts(s"ann_i$nItems") = timedMs {
+            if (!huge) buildMsParts(s"ann_i$nItems") = timedMs {
               annIdx = StreamOps.buildServeIndex(items,
                 k = StreamOps.serveCells(nItems), iters = 8)
             }
@@ -239,16 +264,17 @@ object StreamBench {
               dppIdx = StreamOps.buildServeIndexPartitioned(items, dppDir,
                 k = StreamOps.serveCellsPartitioned(nItems))
             }
-            val out = rs.flatMap { r => Seq(
-              run(s"serve_ann_evict@i$nItems@r$r", idle,
-                Some(df => StreamOps.topNForUsersAnn(df, annIdx._1, annIdx._2, 10)),
-                r, items, nItems),
+            val out = rs.flatMap { r =>
+              (if (huge) Seq.empty[String] else Seq(
+                run(s"serve_ann_evict@i$nItems@r$r", idle,
+                  Some(df => StreamOps.topNForUsersAnn(df, annIdx._1, annIdx._2, 10)),
+                  r, enrichItems, eventSpace))) :+
               run(s"serve_dpp_evict@i$nItems@r$r", idle,
                 Some(df => StreamOps.topNForUsersAnnPartitioned(
                   df, dppIdx._1, dppIdx._2, 10)),
-                r, items, nItems))
+                r, enrichItems, eventSpace)
             }
-            annIdx._1.unpersist(); annIdx._2.unpersist()
+            if (!huge) { annIdx._1.unpersist(); annIdx._2.unpersist() }
             dppIdx._1.unpersist()
             if (t != 1) items.unpersist()
             out

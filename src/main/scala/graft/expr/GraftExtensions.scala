@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+      (exprs: Seq[Expression]) => NearestCells(exprs.head,
+        GraftFunctions.centroidTable(exprs(1), exprs(2)),
+        GraftFunctions.constInt(exprs(3), "nprobe"))))
+    e.injectFunction((
       FunctionIdentifier("char_shingles"),
       new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
       (exprs: Seq[Expression]) =>

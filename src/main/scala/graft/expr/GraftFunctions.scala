@@ -22,6 +22,11 @@ object GraftFunctions {
       "char_shingles",
       exprs => CharShingles(exprs.head, shingleWidth(exprs(1))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cells",
+      exprs => NearestCells(exprs.head,
+        centroidTable(exprs(1), exprs(2)), constInt(exprs(3), "nprobe")),
+      "built-in")
     spark.udf.register("rmse_agg",
       udaf(RmseAggregator, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
     // the bounded-state synopsis aggregates (q77 / q95) on the SQL
@@ -71,6 +76,56 @@ object GraftFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
+  /** The `nprobe` cosine-nearest centroid ids for a vector column (see
+    * [[NearestCells]] — score desc, cid asc; the model-sized centroid
+    * table rides the expression as a constant). Requires [[register]]
+    * on the session first. */
+  def nearestCells(v: Column, centroids: Seq[(Int, Array[Double])],
+                   nprobe: Int): Column =
+    call_function("nearest_cells", v,
+      typedLit(centroids.map(_._1)),
+      typedLit(centroids.map(_._2.toSeq)),
+      lit(nprobe))
+
+  /** SQL-surface constants of [[NearestCells]] must be foldable: the
+    * cid list and the centroid matrix are a MODEL, not data, and the
+    * expression precomputes centroid norms once per instance. */
+  private[expr] def centroidTable(
+      cidsE: org.apache.spark.sql.catalyst.expressions.Expression,
+      centsE: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(Int, Array[Double])] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val err = "nearest_cells(v, cids, centroids, nprobe): cids and " +
+      "centroids must be constant array literals"
+    val (cids, cents) = try {
+      val cids = cidsE.eval().asInstanceOf[ArrayData].toIntArray()
+      val cents = centsE.eval().asInstanceOf[ArrayData]
+        .toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray())
+      (cids, cents)
+    } catch {
+      case t: Throwable => throw new IllegalArgumentException(err, t)
+    }
+    require(cids.length == cents.length, err + s" of equal length " +
+      s"(got ${cids.length} cids, ${cents.length} centroids)")
+    cids.toSeq.zip(cents.toSeq)
+  }
+
+  private[expr] def constInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String): Int = {
+    val v = try e.eval() catch {
+      case t: Throwable => throw new IllegalArgumentException(
+        s"nearest_cells: $name must be a constant integer literal", t)
+    }
+    v match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"nearest_cells: $name must be a constant integer literal, got $other")
+    }
+  }
+
   /** Dot product via built-ins (`zip_with` + `aggregate`) — the pure
     * composition alternative (SURVEY §4.3 preference (a)). */
   def dotProduct(a: Column, b: Column): Column =
@@ -79,6 +134,23 @@ object GraftFunctions {
   /** Euclidean norm of an array column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  /** L2-normalize a vector column (zero vectors pass through): cosine
+    * quantizers must TRAIN on the unit sphere — Euclidean argmin over
+    * normalized vectors is cosine argmax, while clustering raw
+    * magnitudes groups by length, not direction (measured: serve
+    * recall@10 0.45 raw vs 0.92+ normalized on the fixture embeddings).
+    * The norm binds ONCE via a 1-element transform: higher-order
+    * functions evaluate interpreted, and a lambda body's free subtree is
+    * re-evaluated per element — `transform(v, x => x / nrm)` would
+    * recompute the full norm aggregate dim times per vector (measured as
+    * the r15 serve-build stall at a 200k-item catalog). */
+  def l2Normalize(v: Column): Column = {
+    val nrm = l2Norm(v)
+    element_at(
+      transform(array(nrm),
+        n => when(n > 0, transform(v, x => x / n)).otherwise(v)), 1)
+  }
 
   /** F6 multi-hot genre encoding (ref `/root/reference/src/streaming/
     * streaming_rec.py:130-134`): `sep`-packed token string → fixed-vocab

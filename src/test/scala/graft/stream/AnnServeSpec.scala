@@ -197,19 +197,79 @@ class AnnServeSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [") &&
       """PartitionFilters: \[[^\]]*cid""".r.findFirstIn(p).isDefined,
       s"cells scan carries no cid partition filter:\n$p")
-    // the catalog side is never broadcast: the only BroadcastExchanges
-    // are the K-row centroid table (routing), the routed-user table
-    // (the pruned join's build side), and — when Catalyst elects to
-    // stack dynamic pruning on top of the literal filter — the DPP
-    // subquery's re-broadcast of the routed users. Never one carrying
-    // the cells.
+    // the catalog side is never broadcast — and since r17 neither are
+    // the centroids (they ride INSIDE the routing expression): the only
+    // BroadcastExchanges are the checkpointed routed-user table (the
+    // pruned join's build side) and — when Catalyst elects to stack
+    // dynamic pruning on top of the literal filter — the DPP subquery's
+    // re-broadcast of it. Never one carrying the cells.
     val broadcasts = """\(\d+\) BroadcastExchange""".r.findAllMatchIn(p).size
-    assert(broadcasts == 2 || (broadcasts == 3 && p.contains("dynamicpruning")),
+    assert(broadcasts == 1 || (broadcasts == 2 && p.contains("dynamicpruning")),
       s"unexpected broadcast shape ($broadcasts BroadcastExchanges, " +
         s"dynamicpruning=${p.contains("dynamicpruning")}):\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
       !p.contains("CartesianProduct"),
       s"partitioned serve degraded a join or planned a window:\n$p")
+    // the §8.12 buffer rule, pinned (VERDICT r16 item 1): the only
+    // aggregate in the serve is the bounded top-N tail — no
+    // SortAggregate anywhere, and no aggregate at all in the routing
+    // (which the next test pins as a pure projection)
+    assert(!p.contains("SortAggregate"),
+      s"serve plans a SortAggregate (non-primitive buffer crept in):\n$p")
+  }
+
+  test("r17 routing is a pure projection: no join, no shuffle, no aggregate") {
+    // the r16 routing was a crossJoin + first(array)/TopKPairs aggregate
+    // — users×K intermediate rows and the §8.12 non-primitive-buffer
+    // trap, evaluated twice per batch. The r17 form carries the
+    // centroids inside the NearestCells expression; pin that the routed
+    // plan is scan→project→generate only.
+    val cents = (0 until 64).map(i =>
+      i -> Array.tabulate(16)(j => math.sin(i * 97.0 + j)))
+    val interests = spark.range(500).select(
+      col("id").cast("int").as("userId"),
+      expr("transform(sequence(0, 15), j -> sin(CAST(id + j AS DOUBLE)))")
+        .as("interest"))
+    val routed = StreamOps.routeCells(interests, cents, nprobe = 2)
+    val p = routed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange") && !p.contains("Aggregate") &&
+      !p.contains("Join") && !p.contains("Sort"),
+      s"routing is not a pure projection:\n$p")
+    assert(routed.count() == 1000)
+  }
+
+  test("serve index compacts via the shared IvfIndex maintenance path") {
+    // VERDICT r16 item 4: ONE index lifecycle. The serve build delegates
+    // to IvfIndex.buildLarge (same layout), so append-fragmented serve
+    // cells compact with IvfIndex.compact and the serve's results are
+    // byte-identical before and after.
+    val items = spark.range(1200).select(
+      col("id").cast("int").as("itemId"),
+      expr("""transform(sequence(0, 15), j ->
+                sin(CAST((id % 12) * 97 + j AS DOUBLE)) +
+                0.1 * sin(CAST(id * 31 + j * 7 AS DOUBLE)))""").as("features"))
+      .cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-compact").toString
+    val firstHalf = items.where(col("itemId") < 600)
+    val rest = items.where(col("itemId") >= 600)
+    val (cent, _) = StreamOps.buildServeIndexPartitioned(firstHalf, dir, k = 8)
+    // daily-increment regime: append the rest under the frozen quantizer
+    // (appendLarge — the cosine twin; Euclidean append would file the
+    // increment in the wrong cells for cosine routing)
+    graft.rec.IvfIndex.appendLarge(spark, rest
+      .select(col("itemId").as("vec_id"), col("features").as("emb")), dir)
+    val cells = StreamOps.readServeCells(spark, dir)
+    val interests = items.where(col("itemId") % 17 === 0)
+      .select(col("itemId").as("userId"), col("features").as("interest"))
+    val before = StreamOps.topNForUsersAnnPartitioned(interests, cent, cells, n)
+      .collect().toSet
+    val stats = graft.rec.IvfIndex.compact(spark, dir, maxFilesPerCell = 1)
+    assert(stats.files_after < stats.files_before,
+      s"compaction rewrote nothing: $stats")
+    val after = StreamOps.topNForUsersAnnPartitioned(interests, cent,
+      StreamOps.readServeCells(spark, dir), n).collect().toSet
+    assert(after == before, "serve results changed across compaction")
   }
 
   test("isotropic fixture: selectivity floor and self-retrieval hold") {
