@@ -102,7 +102,11 @@ def metrics(doc):
                   "ivfpq_probe_ms_retrained",
                   # r16+ resize arm (nlist ~ sqrt(N) rebuild)
                   "rebuild_resized_ms", "probe_ms_resized",
-                  "ivfpq_rebuild_resized_ms", "ivfpq_probe_ms_resized"):
+                  "ivfpq_rebuild_resized_ms", "ivfpq_probe_ms_resized",
+                  # r18+ cosine (buildLarge/appendLarge) lifecycle arm —
+                  # absent in pre-r18 files -> not compared against them
+                  "cos_build_ms", "cos_probe_ms_before",
+                  "cos_probe_ms_after", "cos_compact_ms"):
             if k in doc:
                 out[k] = (float(doc[k]), False)
         ctx.append(f"files {doc.get('files_before')} -> "

@@ -43,6 +43,19 @@ import org.apache.spark.sql.functions._
   * per-subspace codebooks keep their fixed 256-code budget, which
   * corpus size does not change.
   *
+  * COSINE LIFECYCLE ARM (r18, VERDICT r17 item 5): `buildLarge` /
+  * `appendLarge` are the COSINE twins behind the streaming serve's
+  * partitioned index (`StreamOps.buildServeIndexPartitioned`), sharing
+  * the Euclidean lifecycle's layout and `compact` path — AnnServeSpec
+  * proves probe equality across a compact, but until r18 nothing PRICED
+  * that lifecycle. The `cos_*` keys run the same protocol (day-0 build
+  * on the first slice, N frozen `appendLarge` increments, probe /
+  * compact / probe) with probes served through the cosine serve itself
+  * (`StreamOps.topNForUsersAnnPartitioned`, nprobe=2, top-3). Day-0
+  * K matches the Euclidean arm's 16 so the two arms price the same
+  * fragmentation story — quantizer SIZING policy is the retrain/resize
+  * arms' question, answered above.
+  *
   * Prints ONE JSON line. Probe latency is the median of `reps` full
   * probe executions (assign → pruned cell scan → per-probe top-k,
   * collect()ed), after one untimed warmup pass; medians because a
@@ -208,6 +221,46 @@ object IndexBench {
       if (pqGainResized > 0) math.round(pqRebuildResizedMs / pqGainResized)
       else -1L
 
+    // ---- the same lifecycle for the COSINE (buildLarge) index ----
+    // (r18, VERDICT r17 item 5: the serve's unified lifecycle — sampled
+    // seeded MLlib fit + one-pass NearestCells assignment + appendLarge
+    // increments + the shared compact — priced where it is claimed.)
+    val cosDir = java.nio.file.Files.createTempDirectory("graft-cos-bench").toString
+    val cosCells = new java.io.File(s"$cosDir/cells")
+    val t4 = System.nanoTime()
+    graft.rec.IvfIndex.buildLarge(
+      e.where(col("vec_id") < sliceRows), cosDir, k = 16)
+    val cosBuildMs = (System.nanoTime() - t4) / 1e6
+    (1 to increments).foreach(i => graft.rec.IvfIndex.appendLarge(
+      spark, e.where(col("vec_id") >= i * sliceRows &&
+        col("vec_id") < (i + 1) * sliceRows), cosDir))
+    val cosCent = spark.read.parquet(s"$cosDir/centroids").cache()
+    cosCent.count()
+    val cosProbes = probes
+      .select(col("vec_id").cast("int").as("userId"), col("emb").as("interest"))
+      .cache()
+    cosProbes.count()
+    def cosProbeMedianMs(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.stream.StreamOps.topNForUsersAnnPartitioned(cosProbes, cosCent,
+          graft.stream.StreamOps.readServeCells(spark, cosDir), n = 3)
+          .collect()
+        (System.nanoTime() - t0) / 1e6
+      }
+      once()
+      val xs = Vector.fill(reps)(once()).sorted
+      if (reps % 2 == 1) xs(reps / 2)
+      else (xs(reps / 2 - 1) + xs(reps / 2)) / 2.0
+    }
+    val cosFilesBefore = dataFiles(cosCells)
+    val cosMsBefore = cosProbeMedianMs()
+    val t5 = System.nanoTime()
+    val cosStats = graft.rec.IvfIndex.compact(spark, cosDir, maxFilesPerCell = 4)
+    val cosCompactMs = (System.nanoTime() - t5) / 1e6
+    val cosFilesAfter = dataFiles(cosCells)
+    val cosMsAfter = cosProbeMedianMs()
+
     println(
       s"""{"metric":"ivf_maintenance","sf_dir":"$sfDir","increments":$increments,""" +
       s""""reps":$reps,"tiles":$tiles,"rows":$total,""" +
@@ -233,7 +286,13 @@ object IndexBench {
       s""""ivfpq_breakeven_probes":$pqBreakeven,""" +
       s""""ivfpq_rebuild_resized_ms":${math.round(pqRebuildResizedMs)},""" +
       s""""ivfpq_probe_ms_resized":${math.round(pqMsResized)},""" +
-      s""""ivfpq_resized_breakeven_probes":$pqBreakevenResized}""")
+      s""""ivfpq_resized_breakeven_probes":$pqBreakevenResized,""" +
+      s""""cos_build_ms":${math.round(cosBuildMs)},""" +
+      s""""cos_files_before":$cosFilesBefore,"cos_files_after":$cosFilesAfter,""" +
+      s""""cos_cells_compacted":${cosStats.cells_compacted},""" +
+      s""""cos_probe_ms_before":${math.round(cosMsBefore)},""" +
+      s""""cos_probe_ms_after":${math.round(cosMsAfter)},""" +
+      s""""cos_compact_ms":${math.round(cosCompactMs)}}""")
     spark.stop()
   }
 }

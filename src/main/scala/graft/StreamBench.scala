@@ -148,11 +148,18 @@ object StreamBench {
         .as[RatingEvent]
     }
 
+    /** `eventSpace` is the modulus of the generated event itemIds — equal
+      * to the catalog size except in the huge-catalog DPP groups, where
+      * events reference only the HotItemCap head while the serve index
+      * covers the whole catalog (ADVICE r17: the JSON's "items" must
+      * report the true serve-catalog size, not the event modulus, which
+      * gets its own "event_space" field). */
     def run(label: String, idle: Option[java.time.Duration],
             serveFn: Option[DataFrame => DataFrame], rate: Int,
-            items: DataFrame, nItems: Long): String = {
+            items: DataFrame, nItems: Long, eventSpace: Long = -1L): String = {
+      val evSpace = if (eventSpace > 0) eventSpace else nItems
       val interests = StreamOps.interestStream(
-        StreamOps.enrich(events(rate, nItems), items), dim, idleTimeout = idle)
+        StreamOps.enrich(events(rate, evSpace), items), dim, idleTimeout = idle)
       val writer = serveFn match {
         case Some(f) =>
           interests.writeStream.outputMode("append")
@@ -193,7 +200,8 @@ object StreamBench {
       def p50 = if (sorted.isEmpty) 0L else sorted(sorted.size / 2)
       val st = progress.lastOption.flatMap(_.stateOperators.headOption)
       def r1(v: Double) = "%.1f".format(v)
-      s""""$label":{"offered":$rate,"items":$nItems,"events_per_sec":${r1(eps)},""" +
+      s""""$label":{"offered":$rate,"items":$nItems,"event_space":$evSpace,""" +
+        s""""events_per_sec":${r1(eps)},""" +
         s""""sustained":${isSteady && eps >= 0.9 * rate},"steady":$isSteady,""" +
         s""""batches":${steady.size},""" +
         s""""batch_ms_p50":$p50,"batch_ms_max":${sorted.lastOption.getOrElse(0L)},""" +
@@ -221,6 +229,11 @@ object StreamBench {
     }
 
     val buildMsParts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // cell counts per built index — context for the scan-fraction claim:
+    // past ~8.4M items serveCellsPartitioned CAPS K at 4096 (the law
+    // says √(nprobe·N), e.g. 6325 at 20M), so the artifact must state
+    // the K the p50s were measured under (VERDICT r17 what's-wrong 4)
+    val serveKParts = scala.collection.mutable.LinkedHashMap[String, Int]()
     // DPP mode (r16, VERDICT r15 item 1): per catalog group, run the
     // broadcast-ANN serve against the cid-PARTITIONED serve — the arm
     // that never broadcasts the catalog. Past ~1M items the broadcast
@@ -257,6 +270,8 @@ object StreamBench {
               annIdx = StreamOps.buildServeIndex(items,
                 k = StreamOps.serveCells(nItems), iters = 8)
             }
+            if (!huge) serveKParts(s"ann_i$nItems") = StreamOps.serveCells(nItems)
+            serveKParts(s"dpp_i$nItems") = StreamOps.serveCellsPartitioned(nItems)
             val dppDir = java.nio.file.Files
               .createTempDirectory(s"graft-sb-dpp-$nItems").toString
             var dppIdx: (DataFrame, DataFrame) = null
@@ -268,11 +283,11 @@ object StreamBench {
               (if (huge) Seq.empty[String] else Seq(
                 run(s"serve_ann_evict@i$nItems@r$r", idle,
                   Some(df => StreamOps.topNForUsersAnn(df, annIdx._1, annIdx._2, 10)),
-                  r, enrichItems, eventSpace))) :+
+                  r, enrichItems, nItems, eventSpace))) :+
               run(s"serve_dpp_evict@i$nItems@r$r", idle,
                 Some(df => StreamOps.topNForUsersAnnPartitioned(
                   df, dppIdx._1, dppIdx._2, 10)),
-                r, enrichItems, eventSpace)
+                r, enrichItems, nItems, eventSpace)
             }
             if (!huge) { annIdx._1.unpersist(); annIdx._2.unpersist() }
             dppIdx._1.unpersist()
@@ -332,7 +347,11 @@ object StreamBench {
         s"""{"tiles":$t,"rates":[${rs.mkString(",")}]}"""
       }.mkString("[", ",", "]")},"index_build_ms":${buildMsParts.map {
         case (k, v) => s""""$k":$v"""
-      }.mkString("{", ",", "}")}""").getOrElse("")
+      }.mkString("{", ",", "}")}${
+        if (serveKParts.isEmpty) ""
+        else s""","serve_k":${serveKParts.map {
+          case (k, v) => s""""$k":$v"""
+        }.mkString("{", ",", "}")}"""}""").getOrElse("")
     val line = parts.mkString(
       s"""{"metric":"stream_bench","rate_rows_per_sec":$rate,"rates":$ratesJson,""" +
         s""""secs_per_config":$secs,""" +

@@ -1,5 +1,6 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -7,8 +8,8 @@ import org.apache.spark.sql.types._
 
 /** `nearest_cells(vector)` — the `nprobe` cosine-nearest centroid ids for
   * one vector, against a MODEL-SIZED centroid table carried inside the
-  * expression (score desc, cid asc; a null cosine — zero vector or
-  * length mismatch — ranks as −1.0, i.e. worst).
+  * expression (score desc, cid asc; a degenerate cosine — zero vector,
+  * length mismatch, or a NaN input element — ranks as −1.0, i.e. worst).
   *
   * This is the K-beyond-literal-size sibling of the K-struct literal
   * routing projection (`StreamOps.nearestCellsCol`): that form folds
@@ -56,6 +57,19 @@ case class NearestCells(child: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
+  /** `nearest_cells` sits on the SQL surface (GraftExtensions), where a
+    * wrong-typed first argument would otherwise surface as an executor
+    * ClassCastException; reject it at analysis time instead (ADVICE
+    * r17 — CosineSimilarity's helper-enforced contract doesn't cover
+    * the injected SQL path). */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires an array<float> or array<double> vector, " +
+        s"got ${other.catalogString}")
+  }
+
   @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val cids: Array[Int] = centroids.map(_._1).toArray
@@ -70,8 +84,13 @@ case class NearestCells(child: Expression,
 
   /** Shared by interpreted eval and generated code, so the two paths are
     * the same machine code: top-`nprobe` selection by (cos desc, cid asc)
-    * over the carried centroids. NaN cosines rank worst (comparisons with
-    * NaN are false, so a NaN never displaces a slot). */
+    * over the carried centroids. A NaN cosine (a NaN element in the input
+    * vector makes every dot NaN) is mapped to the same −1.0 sentinel as
+    * zero norms and length mismatches BEFORE insertion — left as NaN it
+    * would never displace a slot (NaN comparisons are false) and an
+    * under-filled slot array would return the Array[Int] default 0,
+    * i.e. phantom routes to a real cell 0 (ADVICE r17). With every
+    * score −1.0 the result is the `nprobe` lowest cids, deterministic. */
   def nearest(input: ArrayData): ArrayData = {
     val n = input.numElements()
     var vn = 0.0
@@ -88,13 +107,14 @@ case class NearestCells(child: Expression,
     var k = 0
     while (k < cents.length) {
       val c = cents(k)
-      val cos =
+      val cosRaw =
         if (c.length != n || vn == 0.0 || centNorms(k) == 0.0) -1.0
         else {
           var dot = 0.0; var j = 0
           while (j < n) { dot += v(j) * c(j); j += 1 }
           dot / (vn * centNorms(k))
         }
+      val cos = if (java.lang.Double.isNaN(cosRaw)) -1.0 else cosRaw
       val cid = cids(k)
       // insertion into the bounded (score desc, cid asc) slots
       var p = np

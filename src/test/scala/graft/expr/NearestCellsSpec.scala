@@ -75,6 +75,32 @@ class NearestCellsSpec extends SparkSpec {
     assert(viaDataFrame(Array(1.0, 2.0), 2) == Seq(3, 5))
   }
 
+  test("a NaN input element ranks every cell -1.0, never phantom cid 0") {
+    // ADVICE r17: one NaN element makes every cosine NaN; left unmapped,
+    // a NaN never displaces a top-slot and the unfilled Array[Int]
+    // defaults would return phantom cid 0 — a REAL cell. Pinned: NaN
+    // maps to the -1.0 sentinel, so the result is the cid-asc list
+    // (same as the zero-vector case), deterministic, no cid 0.
+    assert(viaDataFrame(Array(Double.NaN, 1.0, 0.0), 4) == Seq(3, 5, 7, 11))
+    assert(viaInterpreted(Array(Double.NaN, 1.0, 0.0), 2) == Seq(3, 5))
+    assert(!viaDataFrame(Array(1.0, Double.NaN, 0.0), 2).contains(0))
+  }
+
+  test("SQL surface rejects a wrong-typed vector at analysis time") {
+    // ADVICE r17: without checkInputDataTypes a string first argument
+    // dies at executor runtime with a ClassCastException; pin the clean
+    // analysis-time failure instead
+    GraftFunctions.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT nearest_cells('oops',
+          |  array(1, 2), array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 1)
+          |""".stripMargin).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("nearest_cells"),
+      s"unexpected analysis error: ${err.getMessage}")
+  }
+
   test("nprobe beyond K returns exactly K cids; float input element type") {
     assert(viaDataFrame(Array(1.0, 0.0, 0.0), 99).size == cents.size)
     import spark.implicits._

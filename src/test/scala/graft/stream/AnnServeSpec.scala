@@ -199,10 +199,12 @@ class AnnServeSpec extends SparkSpec {
       s"cells scan carries no cid partition filter:\n$p")
     // the catalog side is never broadcast — and since r17 neither are
     // the centroids (they ride INSIDE the routing expression): the only
-    // BroadcastExchanges are the checkpointed routed-user table (the
-    // pruned join's build side) and — when Catalyst elects to stack
-    // dynamic pruning on top of the literal filter — the DPP subquery's
-    // re-broadcast of it. Never one carrying the cells.
+    // BroadcastExchanges are the driver-materialized routed-user table
+    // (the pruned join's build side — r18 replaced r17's per-batch
+    // localCheckpoint with a local relation, ADVICE r17) and — when
+    // Catalyst elects to stack dynamic pruning on top of the literal
+    // filter — the DPP subquery's re-broadcast of it. Never one
+    // carrying the cells.
     val broadcasts = """\(\d+\) BroadcastExchange""".r.findAllMatchIn(p).size
     assert(broadcasts == 1 || (broadcasts == 2 && p.contains("dynamicpruning")),
       s"unexpected broadcast shape ($broadcasts BroadcastExchanges, " +
