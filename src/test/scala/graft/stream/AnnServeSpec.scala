@@ -241,6 +241,32 @@ class AnnServeSpec extends SparkSpec {
     assert(routed.count() == 1000)
   }
 
+  test("repeated serve batches leave no storage blocks behind (ADVICE r17)") {
+    // r17's per-batch localCheckpoint parked routed-table blocks on the
+    // ContextCleaner — a slow leak under an idle driver GC. The r18
+    // driver-local-relation form has NOTHING to clean: after N serve
+    // calls the only cached RDDs are the index's own (centroid cache),
+    // none added per batch.
+    val items = spark.range(800).select(
+      col("id").cast("int").as("itemId"),
+      expr("""transform(sequence(0, 15), j ->
+                sin(CAST((id % 8) * 97 + j AS DOUBLE)) +
+                0.1 * sin(CAST(id * 31 + j * 7 AS DOUBLE)))""").as("features"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve-noleak").toString
+    val (cent, cells) = StreamOps.buildServeIndexPartitioned(items, dir, k = 8)
+    val interests = items.where(col("itemId") % 13 === 0)
+      .select(col("itemId").as("userId"), col("features").as("interest"))
+    val blocksBefore = spark.sparkContext.getRDDStorageInfo.length
+    (1 to 5).foreach { _ =>
+      StreamOps.topNForUsersAnnPartitioned(interests, cent, cells, n).collect()
+    }
+    val blocksAfter = spark.sparkContext.getRDDStorageInfo.length
+    assert(blocksAfter == blocksBefore,
+      s"serve batches accumulated storage blocks: $blocksBefore -> " +
+        s"$blocksAfter (" +
+        spark.sparkContext.getRDDStorageInfo.map(_.name).mkString("; ") + ")")
+  }
+
   test("serve index compacts via the shared IvfIndex maintenance path") {
     // VERDICT r16 item 4: ONE index lifecycle. The serve build delegates
     // to IvfIndex.buildLarge (same layout), so append-fragmented serve
