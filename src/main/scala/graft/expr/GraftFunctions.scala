@@ -27,6 +27,14 @@ object GraftFunctions {
       exprs => NearestCells(exprs.head,
         centroidTable(exprs(1), exprs(2)), constInt(exprs(3), "nprobe")),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_codes",
+      exprs => NearestCodes(exprs.head, codebookTable(exprs(1))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_cosine",
+      exprs => AdcCosine(exprs(0), exprs(1), codebookTable(exprs(2))),
+      "built-in")
     spark.udf.register("rmse_agg",
       udaf(RmseAggregator, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
     // the bounded-state synopsis aggregates (q77 / q95) on the SQL
@@ -110,6 +118,43 @@ object GraftFunctions {
     require(cids.length == cents.length, err + s" of equal length " +
       s"(got ${cids.length} cids, ${cents.length} centroids)")
     cids.toSeq.zip(cents.toSeq)
+  }
+
+  /** The per-subspace PQ code words for a vector column (see
+    * [[NearestCodes]] — Euclidean argmin per subspace over the carried
+    * codebooks, code id = codebook index, internal normalization).
+    * Requires [[register]] on the session first. */
+  def nearestCodes(v: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    call_function("nearest_codes", v,
+      typedLit(codebooks.map(_.map(_.toSeq))))
+
+  /** ADC cosine approximation of a raw query against a PQ-coded
+    * candidate (see [[AdcCosine]] — score ≈ cosine, null semantics
+    * matching [[CosineSimilarity]]). Requires [[register]] first. */
+  def adcCosine(q: Column, codes: Column,
+                codebooks: Seq[Seq[Array[Double]]]): Column =
+    call_function("adc_cosine", q, codes,
+      typedLit(codebooks.map(_.map(_.toSeq))))
+
+  /** SQL-surface constant of [[NearestCodes]]: the nested codebook
+    * matrix is a MODEL, not data — must be a foldable literal. */
+  private[expr] def codebookTable(
+      cbE: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[Seq[Array[Double]]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val err = "nearest_codes(v, codebooks): codebooks must be a constant " +
+      "array<array<array<double>>> literal"
+    try {
+      cbE.eval().asInstanceOf[ArrayData]
+        .toObjectArray(ArrayType(ArrayType(DoubleType)))
+        .map(_.asInstanceOf[ArrayData]
+          .toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[ArrayData].toDoubleArray()).toSeq)
+        .toSeq
+    } catch {
+      case t: Throwable => throw new IllegalArgumentException(err, t)
+    }
   }
 
   private[expr] def constInt(

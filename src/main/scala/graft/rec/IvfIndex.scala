@@ -85,26 +85,30 @@ object IvfIndex {
     * `$dir/centroids` alongside — so [[append]]-accumulated fragments
     * [[compact]] identically (AnnServeSpec asserts probe equality over
     * a compacted serve index). */
+  /** Deterministic bounded sample of RAW (vec_id, emb) rows for
+    * quantizer training: the hash pre-filter bounds the sort input to
+    * ~4× the cap — an orderBy().limit(16384) over the full corpus
+    * exceeds the top-K sort fallback threshold and plans a FULL sort
+    * of N rows. Normalize only the survivors (the normalize is an
+    * interpreted higher-order expression). */
+  private def boundedSample(vectors: DataFrame, nRows: Long): DataFrame = {
+    val raw = vectors.select(col("vec_id"), col("emb"))
+    if (nRows <= LargeSampleCap) raw
+    else {
+      val mod = math.max(1L, nRows / (4L * LargeSampleCap))
+      raw.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(LargeSampleCap)
+    }
+  }
+
   def buildLarge(vectors: DataFrame, dir: String, k: Int,
                  iters: Int = 20): Unit = {
     val spark = vectors.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
-    // sample RAW rows first, normalize only the survivors (the
-    // normalize is an interpreted higher-order expression). The
-    // hash pre-filter bounds the sort input to ~4× the cap: an
-    // orderBy().limit(16384) over the full corpus exceeds the top-K
-    // sort fallback threshold and plans a FULL sort of N rows.
-    val raw = vectors.select(col("vec_id"), col("emb"))
     val nRows = vectors.count()
-    val sampled =
-      if (nRows <= LargeSampleCap) raw
-      else {
-        val mod = math.max(1L, nRows / (4L * LargeSampleCap))
-        raw.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
-          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-          .limit(LargeSampleCap)
-      }
+    val sampled = boundedSample(vectors, nRows)
     val train = sampled.select(GraftFunctions.l2Normalize(col("emb")).as("emb"))
     val model = new KMeans()
       .setK(k).setSeed(42L).setMaxIter(iters).setInitMode("random")
@@ -158,6 +162,60 @@ object IvfIndex {
         element_at(GraftFunctions.nearestCells(col("emb"), centSeq, 1), 1))
       .select(col("vec_id"), col("emb"), col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/cells")
+  }
+
+  /** PQ-encode an existing [[buildLarge]] index into its IVFADC serving
+    * twin (Jégou et al. 2011 §V; FAISS IndexIVFPQ): per-subspace
+    * codebooks fit on the SAME bounded normalized sample discipline as
+    * the coarse quantizer (seeded MLlib k-means per subspace — the
+    * large-corpus regime's trainer; `PqIndex.trainCodebooks` stays the
+    * oracle-mirrorable path), then ONE streaming
+    * [[graft.expr.NearestCodes]] scan encodes the full corpus — O(N)
+    * rows, s·k·subDim flops per row, no join/shuffle/aggregate (the
+    * relational encoder's fan-out join + `first(emb)`/`min_by`
+    * aggregate is the §8.12 SortAggregate trap at this scale).
+    *
+    * Layout alongside the raw cells, cid from the cells table verbatim
+    * (no re-assignment — the codes file in cell c holds exactly the
+    * vectors of cell c): `$dir/pq_cells` (vec_id, codes array<int>,
+    * partitioned by cid — WIDE form, ~s ints per vector, so a probe
+    * scan reads ~25× fewer bytes than the raw cells at dim 64), and
+    * `$dir/pq_codebooks` (sub, code, c). Codes encode the UNIT-sphere
+    * vectors (cosine is the serve's metric; [[graft.expr.NearestCodes]]
+    * normalizes internally), so ADC's summed squared sub-distances
+    * approximate 2−2·cos and ascending ADC order is descending cosine
+    * order. */
+  def encodePqLarge(spark: SparkSession, dir: String, s: Int = 4,
+                    subDim: Int = 16, k: Int = 256,
+                    iters: Int = 20): Unit = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cells = spark.read.parquet(s"$dir/cells")
+    val nRows = cells.count()
+    val train = boundedSample(cells.select(col("vec_id"), col("emb")), nRows)
+      .select(GraftFunctions.l2Normalize(col("emb")).as("emb"))
+      .cache()
+    val nTrain = train.count()
+    val codebooks: Seq[Seq[Array[Double]]] = (0 until s).map { sub =>
+      val slices = train.select(
+        array_to_vector(slice(col("emb"), sub * subDim + 1, subDim))
+          .as("features"))
+      val kSub = math.min(k, nTrain.toInt)
+      val model = new KMeans()
+        .setK(kSub).setSeed(42L + sub).setMaxIter(iters).setInitMode("random")
+        .fit(slices)
+      model.clusterCenters.map(_.toArray).toSeq
+    }
+    train.unpersist()
+    codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+    }.toDF("sub", "code", "c")
+      .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    cells
+      .withColumn("codes", GraftFunctions.nearestCodes(col("emb"), codebooks))
+      .select(col("vec_id"), col("codes"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/pq_cells")
   }
 
   /** Compact cell partitions that [[append]] increments have fragmented
