@@ -225,11 +225,19 @@ object IndexBench {
     // (r18, VERDICT r17 item 5: the serve's unified lifecycle — sampled
     // seeded MLlib fit + one-pass NearestCells assignment + appendLarge
     // increments + the shared compact — priced where it is claimed.)
+    // NOTE (ADVICE r18): the cosine build runs buildLarge's production
+    // default of 20 Lloyd iterations, NOT the Euclidean arms' iters=3 —
+    // K matches (16) but iteration budget deliberately does not: the
+    // sampled MLlib fit makes extra rounds corpus-size-free (the arm's
+    // own 1×/10× flat ~2.3 s build is the evidence), while the
+    // relational Lloyd arms pay per-corpus-scan per round. The JSON
+    // carries both budgets so readers compare like with like.
+    val cosBuildIters = 20
     val cosDir = java.nio.file.Files.createTempDirectory("graft-cos-bench").toString
     val cosCells = new java.io.File(s"$cosDir/cells")
     val t4 = System.nanoTime()
     graft.rec.IvfIndex.buildLarge(
-      e.where(col("vec_id") < sliceRows), cosDir, k = 16)
+      e.where(col("vec_id") < sliceRows), cosDir, k = 16, iters = cosBuildIters)
     val cosBuildMs = (System.nanoTime() - t4) / 1e6
     (1 to increments).foreach(i => graft.rec.IvfIndex.appendLarge(
       spark, e.where(col("vec_id") >= i * sliceRows &&
@@ -288,6 +296,7 @@ object IndexBench {
       s""""ivfpq_probe_ms_resized":${math.round(pqMsResized)},""" +
       s""""ivfpq_resized_breakeven_probes":$pqBreakevenResized,""" +
       s""""cos_build_ms":${math.round(cosBuildMs)},""" +
+      s""""cos_build_iters":$cosBuildIters,"euclid_build_iters":3,""" +
       s""""cos_files_before":$cosFilesBefore,"cos_files_after":$cosFilesAfter,""" +
       s""""cos_cells_compacted":${cosStats.cells_compacted},""" +
       s""""cos_probe_ms_before":${math.round(cosMsBefore)},""" +

@@ -90,9 +90,15 @@ case class AdcCosine(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("adcCosine", this, classOf[AdcCosine].getName)
+    // freshName, not a fixed local: nullSafeCodeGen inlines this snippet
+    // without a scoping block when a child is non-nullable, so a fixed
+    // `r` would collide with a sibling AdcCosine (or any neighbor) in
+    // the same codegen scope — a janino duplicate-variable error and a
+    // silent whole-stage fallback (ADVICE r18)
+    val r = ctx.freshName("adcScore")
     nullSafeCodeGen(ctx, ev, (q, c) => s"""
-      java.lang.Double r = $selfRef.score($q, $c);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = $selfRef.score($q, $c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
     """)
   }
 

@@ -29,5 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
       (exprs: Seq[Expression]) =>
         CharShingles(exprs.head, GraftFunctions.shingleWidth(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("nearest_codes"),
+      new ExpressionInfo(classOf[NearestCodes].getName, "nearest_codes"),
+      (exprs: Seq[Expression]) => NearestCodes(exprs.head,
+        GraftFunctions.codebookTable(exprs(1), "nearest_codes(v, codebooks)"))))
+    e.injectFunction((
+      FunctionIdentifier("adc_cosine"),
+      new ExpressionInfo(classOf[AdcCosine].getName, "adc_cosine"),
+      (exprs: Seq[Expression]) => AdcCosine(exprs(0), exprs(1),
+        GraftFunctions.codebookTable(exprs(2), "adc_cosine(q, codes, codebooks)"))))
   }
 }

@@ -29,11 +29,13 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_codes",
-      exprs => NearestCodes(exprs.head, codebookTable(exprs(1))),
+      exprs => NearestCodes(exprs.head,
+        codebookTable(exprs(1), "nearest_codes(v, codebooks)")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "adc_cosine",
-      exprs => AdcCosine(exprs(0), exprs(1), codebookTable(exprs(2))),
+      exprs => AdcCosine(exprs(0), exprs(1),
+        codebookTable(exprs(2), "adc_cosine(q, codes, codebooks)")),
       "built-in")
     spark.udf.register("rmse_agg",
       udaf(RmseAggregator, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
@@ -136,14 +138,18 @@ object GraftFunctions {
     call_function("adc_cosine", q, codes,
       typedLit(codebooks.map(_.map(_.toSeq))))
 
-  /** SQL-surface constant of [[NearestCodes]]: the nested codebook
-    * matrix is a MODEL, not data — must be a foldable literal. */
+  /** SQL-surface constant of [[NearestCodes]] / [[AdcCosine]]: the
+    * nested codebook matrix is a MODEL, not data — must be a foldable
+    * literal. `signature` is the calling function's own signature, so a
+    * malformed `adc_cosine` literal reports `adc_cosine`'s shape, not
+    * `nearest_codes`'s (ADVICE r18). */
   private[expr] def codebookTable(
-      cbE: org.apache.spark.sql.catalyst.expressions.Expression)
+      cbE: org.apache.spark.sql.catalyst.expressions.Expression,
+      signature: String)
       : Seq[Seq[Array[Double]]] = {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val err = "nearest_codes(v, codebooks): codebooks must be a constant " +
+    val err = s"$signature: codebooks must be a constant " +
       "array<array<array<double>>> literal"
     try {
       cbE.eval().asInstanceOf[ArrayData]

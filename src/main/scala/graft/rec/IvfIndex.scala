@@ -218,6 +218,21 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/pq_cells")
   }
 
+  /** The stored per-subspace PQ codebooks of an [[encodePqLarge]] index
+    * as the driver-side MODEL the serve expressions carry (s × k ×
+    * subDim doubles — ~130 KB at the defaults): outer Seq ordered by
+    * subspace, inner by code id, so `codebooks(sub)(code)` is exactly
+    * the centroid [[graft.expr.NearestCodes]] wrote `code` for. */
+  def readPqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/pq_codebooks")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cb) =>
+      cb.sortBy(_._2).map(_._3).toSeq
+    }
+  }
+
   /** Compact cell partitions that [[append]] increments have fragmented
     * past `maxFilesPerCell` data files — see [[IndexMaintenance]] for
     * the cost model (append promises no rewrite; ~365 daily increments
