@@ -78,6 +78,18 @@ import graft.stream.{RatingEvent, StreamOps}
   * re-broadcasts ~1 GB of cells per micro-batch there, the partitioned
   * serve moves only routed users and probed cells. Both index builds
   * are timed per group (`ann_iN` / `dpp_iN` in `index_build_ms`).
+  *
+  * PQ MODE (r19, VERDICT r18 item 1): `SPARK_GRAFT_STREAM_PQ=1` on top
+  * of DPP mode adds, per catalog group, the IVFADC serve pair over the
+  * PQ-encoded twin of the same index
+  * ([[StreamOps.topNForUsersAnnPartitionedPq]]): `serve_pq_evict`
+  * (ADC shortlist 64 + exact rerank — row-for-row the raw serve's
+  * results at full shortlist, but the rerank fetch re-decodes the
+  * touched cells' raw vectors, so its per-batch I/O stays the raw
+  * serve's) and `serve_pqadc_evict` (ADC-only — raw vectors never
+  * touched; the mode that attacks the 20M plateau's measured bound,
+  * ~25× fewer scan bytes per touched cell). The one-off encode pass is
+  * timed as `pqenc_iN` in `index_build_ms`.
   */
 object StreamBench {
 
@@ -243,6 +255,8 @@ object StreamBench {
     // serve is omitted here — the r15 catalog sweep already measured it
     // dead an order of magnitude below these catalog sizes.
     val dppMode = sys.env.get("SPARK_GRAFT_STREAM_DPP").contains("1")
+    // PQ mode (r19): IVFADC serve pair on top of each DPP group
+    val pqMode = sys.env.get("SPARK_GRAFT_STREAM_PQ").contains("1")
     // r17 (VERDICT r16 item 3): the catalog axis's next decade (20M
     // items) outruns TWO broadcast regimes at once — the broadcast-ANN
     // serve measured dead at 2M, and the stream-static ENRICH join's
@@ -279,15 +293,30 @@ object StreamBench {
               dppIdx = StreamOps.buildServeIndexPartitioned(items, dppDir,
                 k = StreamOps.serveCellsPartitioned(nItems))
             }
+            var pqIdx: (DataFrame, Seq[Seq[Array[Double]]]) = null
+            if (pqMode) buildMsParts(s"pqenc_i$nItems") = timedMs {
+              pqIdx = StreamOps.encodeServeIndexPq(spark, dppDir)
+            }
             val out = rs.flatMap { r =>
               (if (huge) Seq.empty[String] else Seq(
                 run(s"serve_ann_evict@i$nItems@r$r", idle,
                   Some(df => StreamOps.topNForUsersAnn(df, annIdx._1, annIdx._2, 10)),
-                  r, enrichItems, nItems, eventSpace))) :+
-              run(s"serve_dpp_evict@i$nItems@r$r", idle,
+                  r, enrichItems, nItems, eventSpace))) ++
+              Seq(run(s"serve_dpp_evict@i$nItems@r$r", idle,
                 Some(df => StreamOps.topNForUsersAnnPartitioned(
                   df, dppIdx._1, dppIdx._2, 10)),
-                r, enrichItems, nItems, eventSpace)
+                r, enrichItems, nItems, eventSpace)) ++
+              (if (!pqMode) Seq.empty[String] else Seq(
+                run(s"serve_pq_evict@i$nItems@r$r", idle,
+                  Some(df => StreamOps.topNForUsersAnnPartitionedPq(
+                    df, dppIdx._1, pqIdx._1, pqIdx._2, dppIdx._2, 10,
+                    shortlist = 64)),
+                  r, enrichItems, nItems, eventSpace),
+                run(s"serve_pqadc_evict@i$nItems@r$r", idle,
+                  Some(df => StreamOps.topNForUsersAnnPartitionedPq(
+                    df, dppIdx._1, pqIdx._1, pqIdx._2, dppIdx._2, 10,
+                    shortlist = 0)),
+                  r, enrichItems, nItems, eventSpace)))
             }
             if (!huge) { annIdx._1.unpersist(); annIdx._2.unpersist() }
             dppIdx._1.unpersist()

@@ -515,6 +515,128 @@ object StreamOps {
     topNByUser(scored, n, cells.schema("itemId").dataType)
   }
 
+  // ------------------------------------------------------------------
+  // PQ-coded serve arm (r19, VERDICT r18 item 1): past the raw-vector
+  // DECODE bound. The r18 20M-item measurement diagnosed the
+  // partitioned serve's plateau as per-batch touched-cell raw-vector
+  // I/O — ~2000 of 4096 cells touched by 1000 rotating users at
+  // nprobe=2, ≈ 5 GB of array<double> decoded per micro-batch, with
+  // the scoring flops trivial beside it. The IVFADC answer (Jégou et
+  // al. 2011 §V; FAISS IndexIVFPQ): scan the touched cells' 4-int PQ
+  // CODES instead (~25× fewer scan bytes at dim 64), rank by the
+  // plan-carried-codebook [[graft.expr.AdcCosine]], and touch raw
+  // vectors only for a per-user shortlist — the q111/q116 batch shape
+  // applied per micro-batch.
+  // ------------------------------------------------------------------
+
+  /** PQ-encode an existing [[buildServeIndexPartitioned]] index (one
+    * [[graft.expr.NearestCodes]] scan over the stored cells —
+    * [[graft.rec.IvfIndex.encodePqLarge]], cid layout mirrored row for
+    * row), then return the serve-side handles via [[readServeIndexPq]].
+    * Paid once per index version, like the build itself. */
+  def encodeServeIndexPq(spark: SparkSession, dir: String, s: Int = 4,
+                         subDim: Int = 16, k: Int = 256, iters: Int = 20)
+      : (DataFrame, Seq[Seq[Array[Double]]]) = {
+    graft.rec.IvfIndex.encodePqLarge(spark, dir, s, subDim, k, iters)
+    readServeIndexPq(spark, dir)
+  }
+
+  /** The PQ half of a serve index: the cid-partitioned codes scan in
+    * the serve's column vocabulary (itemId, codes, cid — the rename is
+    * a projection, partition pruning pushes through) plus the stored
+    * codebooks as the driver-side model [[graft.expr.AdcCosine]]
+    * carries (s × k × subDim doubles — ~130 KB at the defaults). */
+  def readServeIndexPq(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[Array[Double]]]) = {
+    val pq = spark.read.parquet(s"$dir/pq_cells")
+      .select(col("vec_id").as("itemId"), col("codes"), col("cid"))
+    (pq, graft.rec.IvfIndex.readPqCodebooks(spark, dir))
+  }
+
+  /** Per-batch PQ-coded serve: route exactly as
+    * [[topNForUsersAnnPartitioned]] (same [[graft.expr.NearestCells]]
+    * projection, same driver-local routed relation, same literal cid
+    * partition filter — pq_cells mirrors the raw cells' cid layout row
+    * for row, so the candidate set per user is IDENTICAL), but the
+    * pruned scan reads the 4-int CODES and ranks by
+    * [[graft.expr.AdcCosine]] — the touched-cell scan payload drops
+    * ~25× at dim 64, which is the whole fight at the 20M-item regime.
+    *
+    * `shortlist` picks the serving mode:
+    *
+    *  - `shortlist > 0` — ADC keeps the best `shortlist` candidates per
+    *    user (the bounded [[graft.expr.TopKPairs]] aggregate), then the
+    *    shortlist — driver-materialized, ≤ users × shortlist rows, the
+    *    model-sized end of the batch — is reranked by EXACT cosine
+    *    against the raw cells. With `shortlist` ≥ the probed cells'
+    *    population this is row-for-row the raw partitioned serve
+    *    (AnnServeSpec pins it), which is how the serve keeps the
+    *    reference's top-10 semantics (`streaming_rec.py:106-114`)
+    *    exactly on small catalogs. HONEST I/O NOTE: the rerank FETCH is
+    *    a point-lookup workload (≤ users × shortlist random ids), and
+    *    columnar storage has no point lookup — the fetch join decodes
+    *    the touched cells' raw vectors again, so this mode's per-batch
+    *    I/O stays the raw serve's (only the COSINE work shrinks to the
+    *    shortlist). A cluster partitions that fetch exactly as it
+    *    partitions the raw serve's scan; a latency-critical deployment
+    *    fronts it with a row store or serves ADC-only.
+    *  - `shortlist <= 0` — rank by ADC directly (FAISS IndexIVFPQ's
+    *    default regime, no refine): raw vectors are never touched, the
+    *    batch's scan I/O is the codes alone — the mode that realizes
+    *    the full decode-I/O win; recall vs the raw serve is pinned on
+    *    the structured corpus in AnnServeSpec.
+    *
+    * Ranking tail and schema are [[topNByUser]]'s in both modes, so
+    * ordering (score desc, itemId asc) and output shape match the
+    * exact, broadcast-ANN and raw partitioned serves row for row. */
+  def topNForUsersAnnPartitionedPq(interests: DataFrame, centroids: DataFrame,
+                                   pqCells: DataFrame,
+                                   codebooks: Seq[Seq[Array[Double]]],
+                                   rawCells: DataFrame, n: Int,
+                                   nprobe: Int = 2,
+                                   shortlist: Int = 64): DataFrame = {
+    val spark = interests.sparkSession
+    GraftFunctions.register(spark)
+    val itemType = pqCells.schema("itemId").dataType
+    val centSeq = collectCentroids(centroids)
+      .map { case (cid, c) => (cid.toInt, c) }
+    val routedPlan = routeCells(
+      interests.select(col("userId"), col("interest")), centSeq, nprobe)
+    val routedRows = routedPlan.collect()
+    val routed = spark.createDataFrame(
+      java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
+    val cidIdx = routedPlan.schema.fieldIndex("cid")
+    val touched = routedRows.map(_.getInt(cidIdx)).distinct.sorted
+    val prunedPq = pqCells.where(
+      col("cid").isin(touched.toIndexedSeq.map(Int.box): _*))
+    val adcScored = prunedPq.join(broadcast(routed), Seq("cid"))
+      .withColumn("score",
+        GraftFunctions.adcCosine(col("interest"), col("codes"), codebooks))
+      .where(col("score").isNotNull)
+    if (shortlist <= 0) return topNByUser(adcScored, n, itemType)
+    // shortlist mode: bounded per-user ADC top-`shortlist`, collected to
+    // a driver-local relation (the routed-table discipline: it is the
+    // fetch join's broadcast side anyway, and a local relation leaves no
+    // storage blocks behind) — then exact-cosine rerank of exactly
+    // those (userId, itemId) pairs
+    val slPlan = topNByUser(adcScored, shortlist, itemType)
+      .select(col("userId"), col("itemId"))
+    val slRows = slPlan.collect()
+    val sl = spark.createDataFrame(
+      java.util.Arrays.asList(slRows: _*), slPlan.schema)
+    // one interest row per user (the routed relation carries nprobe
+    // copies; the rerank needs exactly one)
+    val userVecs = routed.select(col("userId"), col("interest")).distinct()
+    val fetched = rawCells
+      .where(col("cid").isin(touched.toIndexedSeq.map(Int.box): _*))
+      .join(broadcast(sl), Seq("itemId"))
+      .join(broadcast(userVecs), Seq("userId"))
+    val reranked = fetched.withColumn("score",
+        GraftFunctions.cosineSimilarity(col("interest"), col("features")))
+      .where(col("score").isNotNull)
+    topNByUser(reranked, n, itemType)
+  }
+
   /** Event-time tumbling-window aggregation with a watermark (the natural
     * extension the reference lacks, SURVEY §2.9 "Absent"). */
   def windowedCounts(events: DataFrame, eventTimeCol: String,

@@ -300,6 +300,103 @@ class AnnServeSpec extends SparkSpec {
     assert(after == before, "serve results changed across compaction")
   }
 
+  test("PQ serve: full shortlist == raw partitioned serve row-for-row; plans pinned") {
+    // r19 (VERDICT r18 item 1): the IVFADC serve. With the shortlist
+    // covering every probed candidate, ADC only ORDERS the shortlist
+    // and the exact rerank re-scores all of it — so the output must be
+    // row-for-row the raw partitioned serve's (same routing, same
+    // candidate cells, same ranking tail). This is the small-catalog
+    // exactness contract (streaming_rec.py:106-114 top-N semantics).
+    val items = spark.range(2000).select(
+      col("id").cast("int").as("itemId"),
+      expr("""transform(sequence(0, 63), j ->
+                sin(CAST((id % 16) * 97 + j AS DOUBLE)) +
+                0.1 * sin(CAST(id * 31 + j * 7 AS DOUBLE)))""").as("features"))
+      .cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-serve").toString
+    val (cent, cells) = StreamOps.buildServeIndexPartitioned(items, dir, k = 16)
+    // k = 256 codes/subspace, the serve's production default — the
+    // 16-topic corpus packs ~125 near-identical items per topic, and
+    // within-topic DEPTH is exactly what code resolution buys
+    val (pqCells, cbs) = StreamOps.encodeServeIndexPq(spark, dir,
+      s = 4, subDim = 16, k = 256, iters = 8)
+    val interests = items.where(col("itemId") % 7 === 0)
+      .select(col("itemId").as("userId"), col("features").as("interest"))
+      .cache()
+    val users = interests.count()
+    val raw = StreamOps.topNForUsersAnnPartitioned(interests, cent, cells, n)
+      .collect().toSet
+    val pqFull = StreamOps.topNForUsersAnnPartitionedPq(interests, cent,
+      pqCells, cbs, cells, n, shortlist = 2000).collect().toSet
+    assert(pqFull == raw,
+      s"full-shortlist PQ serve != raw partitioned serve " +
+        s"(${(pqFull -- raw).take(3)} vs ${(raw -- pqFull).take(3)})")
+
+    // bounded shortlist (the deployment shape): recall vs the EXACT
+    // serve stays whole on the structured corpus, self-retrieval exact
+    val exact = StreamOps.topNForUsers(interests, items, n)
+      .select(col("userId"), col("itemId"))
+    val pqServe = StreamOps.topNForUsersAnnPartitionedPq(interests, cent,
+      pqCells, cbs, cells, n, shortlist = 40)
+    val hits = exact.intersect(pqServe.select(col("userId"), col("itemId"))).count()
+    val recall = hits.toDouble / (users * n)
+    val selfHits = pqServe.where(col("userId") === col("itemId")).count()
+    info(f"PQ-serve (shortlist 40) recall@10 = $recall%.3f over $users users")
+    assert(recall >= 0.95, f"PQ-serve recall collapsed: $recall%.3f")
+    assert(selfHits == users, s"self-retrieval lost: $selfHits of $users")
+
+    // ADC-only mode (shortlist <= 0 — the decode-I/O-win regime): raw
+    // vectors never touched; recall vs exact pinned on the structured
+    // corpus (quantization noise costs a little depth, never the bulk)
+    val adcOnly = StreamOps.topNForUsersAnnPartitionedPq(interests, cent,
+      pqCells, cbs, cells, n, shortlist = 0)
+    val adcHits = exact.intersect(adcOnly.select(col("userId"), col("itemId"))).count()
+    val adcRecall = adcHits.toDouble / (users * n)
+    info(f"ADC-only serve recall@10 = $adcRecall%.3f")
+    assert(adcRecall >= 0.85, f"ADC-only recall collapsed: $adcRecall%.3f")
+
+    // plan pins, ADC-only mode: the pq scan carries the touched cids as
+    // PARTITION filters; no Window / SortMergeJoin / SortAggregate; the
+    // only broadcast is the routed-user local relation (+ a DPP
+    // re-broadcast where Catalyst stacks it)
+    val p = adcOnly.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: [") &&
+      """PartitionFilters: \[[^\]]*cid""".r.findFirstIn(p).isDefined,
+      s"pq scan carries no cid partition filter:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("SortAggregate"),
+      s"PQ serve degraded a join or planned a window/SortAggregate:\n$p")
+    val broadcasts = """\(\d+\) BroadcastExchange""".r.findAllMatchIn(p).size
+    assert(broadcasts == 1 || (broadcasts == 2 && p.contains("dynamicpruning")),
+      s"unexpected broadcast shape ($broadcasts):\n$p")
+  }
+
+  test("repeated PQ serve batches leave no storage blocks behind") {
+    // both driver-materialized relations per batch (routed users AND the
+    // ADC shortlist) are local relations — nothing parked on the
+    // ContextCleaner across batches, same pin as the raw serve's
+    val items = spark.range(800).select(
+      col("id").cast("int").as("itemId"),
+      expr("""transform(sequence(0, 15), j ->
+                sin(CAST((id % 8) * 97 + j AS DOUBLE)) +
+                0.1 * sin(CAST(id * 31 + j * 7 AS DOUBLE)))""").as("features"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-noleak").toString
+    val (cent, cells) = StreamOps.buildServeIndexPartitioned(items, dir, k = 8)
+    val (pqCells, cbs) = StreamOps.encodeServeIndexPq(spark, dir,
+      s = 4, subDim = 4, k = 32, iters = 5)
+    val interests = items.where(col("itemId") % 13 === 0)
+      .select(col("itemId").as("userId"), col("features").as("interest"))
+    val blocksBefore = spark.sparkContext.getRDDStorageInfo.length
+    (1 to 5).foreach { _ =>
+      StreamOps.topNForUsersAnnPartitionedPq(interests, cent, pqCells, cbs,
+        cells, n, shortlist = 30).collect()
+    }
+    val blocksAfter = spark.sparkContext.getRDDStorageInfo.length
+    assert(blocksAfter == blocksBefore,
+      s"PQ serve batches accumulated storage blocks: $blocksBefore -> $blocksAfter")
+  }
+
   test("isotropic fixture: selectivity floor and self-retrieval hold") {
     val items = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
       .select(col("vec_id").cast("int").as("itemId"),
