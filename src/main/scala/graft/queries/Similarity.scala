@@ -1120,8 +1120,128 @@ object Similarity {
             ORDER BY cid, rank""")
   )
 
+  /** The SERVE-SHAPED ADC + rerank under the DuckDB gate (r19, VERDICT
+    * r18 item 5): q109 gates the relational Euclidean PQ math; this
+    * gates the NATIVE expressions the streaming serve actually runs —
+    * [[graft.expr.NearestCodes]] encodes the normalized corpus (unit
+    * vectors, cosine metric — the serve's contract), and
+    * [[graft.expr.AdcCosine]] ranks the ADC shortlist (score ≈ cosine,
+    * 1 − adist/2) before the exact-cosine rerank, exactly the
+    * `topNForUsersAnnPartitionedPq` shape per micro-batch. Codebooks
+    * come from the oracle-mirrorable relational trainer
+    * ([[graft.rec.PqIndex.trainCodebooks]], q109's unrolled-Lloyd CTE
+    * idiom) at q109's (s=4, subDim=16, k=16, iters=2), so the DuckDB
+    * mirror trains IDENTICAL codebooks and the gate pins the
+    * expressions, not the trainer twice.
+    *
+    * Cross-engine determinism: training rounds keep q109's 6dp-rounded
+    * argmin (absorbs centroid-average ulps); the ENCODE argmin is
+    * UNROUNDED on both sides ([[graft.expr.NearestCodes]]'s strict-<
+    * contract — a 6dp-rounded mirror could tie codes the native argmin
+    * separates); ADC scores are rounded to 6dp only at the shortlist
+    * ordering (membership at the 80-candidate boundary is the only
+    * thing they decide); final scores come from the exact cosine rerank
+    * of RAW embeddings (q20's proven idiom). */
+  val adcRerank = Q(
+    "q133_adc_rerank",
+    (s, d) => {
+      val eraw = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val vhat = eraw.select(col("vec_id"),
+        GraftFunctions.l2Normalize(col("emb")).as("emb"))
+      val cbsDf = graft.rec.PqIndex
+        .trainCodebooks(vhat, PqS, PqSub, PqK, PqIters).map(_.cache())
+      val cbSeq: Seq[Seq[Array[Double]]] = cbsDf.map { cb =>
+        val rows = cb.select(col("cid").cast("int"), col("c")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+        // NearestCodes emits code = POSITION in the carried codebook;
+        // the SQL mirror emits the trainer's seed cids — equal only for
+        // dense-id corpora (the lloydKMeansGrouped doc's contract)
+        require(rows.map(_._1).toSeq == rows.indices,
+          s"q133 requires dense codebook cids, got ${rows.map(_._1).toSeq}")
+        rows.map(_._2).toSeq
+      }
+      val codes = vhat.withColumn("codes",
+        GraftFunctions.nearestCodes(col("emb"), cbSeq))
+      val probes = vhat.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+      val wsl = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").desc, col("vec_id"))
+      val sl = codes.crossJoin(broadcast(probes))
+        .where(col("probe_id") =!= col("vec_id"))
+        .withColumn("adc",
+          round(GraftFunctions.adcCosine(col("pe"), col("codes"), cbSeq), 6))
+        .withColumn("srank", row_number().over(wsl))
+        .where(col("srank") <= PqShortlist)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      val pr = eraw.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pre"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      sl.join(eraw.select(col("vec_id").as("neighbor_id"),
+          col("emb").as("ne")), Seq("neighbor_id"))
+        .join(broadcast(pr), Seq("probe_id"))
+        .withColumn("score",
+          GraftFunctions.cosineSimilarity(col("pre"), col("ne")))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some {
+      // UNROUNDED per-subspace argmin (NearestCodes' contract), code =
+      // the trainer's seed cid (dense ids -> codebook position)
+      val enc2 = (0 until PqS).map { sub =>
+        s"""SELECT vec_id AS neighbor_id, $sub AS sub, cid AS code FROM (
+              SELECT v.vec_id, c.cid,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  list_distance(v.emb, c.c), c.cid) AS rn
+              FROM s${sub}v v CROSS JOIN s${sub}c$PqIters c) t WHERE rn = 1"""
+      }.mkString("\nUNION ALL\n")
+      val cb = (0 until PqS).map { sub =>
+        s"SELECT $sub AS sub, cid AS code, c FROM s${sub}c$PqIters"
+      }.mkString("\nUNION ALL\n")
+      val pslices = (0 until PqS).map { sub =>
+        val lo = sub * PqSub + 1
+        val hi = (sub + 1) * PqSub
+        s"""SELECT vec_id AS probe_id, $sub AS sub, emb[$lo:$hi] AS pe
+            FROM e WHERE vec_id < 10"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH eraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+          e AS (SELECT vec_id, list_transform(emb,
+              x -> x / sqrt(list_inner_product(emb, emb))) AS emb
+            FROM eraw),
+          $pqSubCtes,
+          enc2 AS ($enc2),
+          cb AS ($cb),
+          pslices AS ($pslices),
+          adc AS (SELECT ps.probe_id, en.neighbor_id,
+              round(1 - sum(power(list_distance(ps.pe, c.c), 2)) / 2, 6) AS adc
+            FROM enc2 en JOIN cb c ON c.sub = en.sub AND c.code = en.code
+            JOIN pslices ps ON ps.sub = en.sub
+            WHERE ps.probe_id <> en.neighbor_id
+            GROUP BY 1, 2),
+          sl2 AS (SELECT probe_id, neighbor_id FROM (
+              SELECT probe_id, neighbor_id,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY adc DESC, neighbor_id) AS srank
+              FROM adc) t WHERE srank <= $PqShortlist)
+          SELECT probe_id, neighbor_id, rank, score FROM (
+            SELECT s.probe_id, s.neighbor_id,
+              round(list_cosine_similarity(p.emb, nb.emb), 6) AS score,
+              row_number() OVER (PARTITION BY s.probe_id ORDER BY
+                list_cosine_similarity(p.emb, nb.emb) DESC,
+                s.neighbor_id) AS rank
+            FROM sl2 s JOIN eraw p ON p.vec_id = s.probe_id
+                 JOIN eraw nb ON nb.vec_id = s.neighbor_id) t
+          WHERE rank <= 3 ORDER BY probe_id, rank"""
+    }
+  )
+
   val all: Seq[Q] = Seq(annTopk, embeddingNeardup, lshNeardup, ivfAnn,
     lshRecall, ivfRecall, ivfIndexProbe, clusterNeardup, pqAnn, pqRecall,
     ivfPqAnn, ivfPqRecall, pqIndexProbe, ivfPqIndexProbe, sq8Ann, sq8Recall,
-    clusterBalance)
+    clusterBalance, adcRerank)
 }

@@ -625,8 +625,17 @@ object StreamOps {
     val sl = spark.createDataFrame(
       java.util.Arrays.asList(slRows: _*), slPlan.schema)
     // one interest row per user (the routed relation carries nprobe
-    // copies; the rerank needs exactly one)
-    val userVecs = routed.select(col("userId"), col("interest")).distinct()
+    // copies; the rerank needs exactly one) — deduplicated on the
+    // driver, where the rows already live, not via an in-plan distinct
+    // (which would put a needless exchange inside the broadcast)
+    val uIdx = routedPlan.schema.fieldIndex("userId")
+    val userRows = routedRows.groupBy(_.get(uIdx)).map(_._2.head).toArray
+      .map(r => org.apache.spark.sql.Row(r.get(uIdx),
+        r.get(routedPlan.schema.fieldIndex("interest"))))
+    val userVecs = spark.createDataFrame(
+      java.util.Arrays.asList(userRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        routedPlan.schema("userId"), routedPlan.schema("interest"))))
     val fetched = rawCells
       .where(col("cid").isin(touched.toIndexedSeq.map(Int.box): _*))
       .join(broadcast(sl), Seq("itemId"))
