@@ -102,6 +102,9 @@ object IndexBench {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bench").toString
     val cells = new java.io.File(s"$dir/cells")
     val total = e.count() // one action: materializes the cache AND counts
+    // one val ties every Euclidean arm's Lloyd budget to the JSON's
+    // euclid_build_iters claim (the cosine arm has cosBuildIters)
+    val euclidBuildIters = 3
     val sliceRows = (total + increments) / (increments + 1)
 
     // day 0: build on the first CONTIGUOUS id range (contiguous, not a
@@ -111,7 +114,7 @@ object IndexBench {
     // days 1..N: append-only increments under the frozen quantizer
     // (the regime the compaction pass serves)
     graft.rec.IvfIndex.build(
-      e.where(col("vec_id") < sliceRows), dir, k = 16, iters = 3)
+      e.where(col("vec_id") < sliceRows), dir, k = 16, iters = euclidBuildIters)
     (1 to increments).foreach(i => graft.rec.IvfIndex.append(
       spark, e.where(col("vec_id") >= i * sliceRows &&
         col("vec_id") < (i + 1) * sliceRows), dir))
@@ -144,7 +147,7 @@ object IndexBench {
     // compact-under-a-frozen-quantizer
     val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-rebuild").toString
     val t1 = System.nanoTime()
-    graft.rec.IvfIndex.build(e, dir2, k = 16, iters = 3)
+    graft.rec.IvfIndex.build(e, dir2, k = 16, iters = euclidBuildIters)
     val rebuildMs = (System.nanoTime() - t1) / 1e6
     val msRetrained = probeMedianMs(dir2)
     val gain = msAfter - msRetrained
@@ -161,7 +164,7 @@ object IndexBench {
     val resizedK = math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt)
     val dir3 = java.nio.file.Files.createTempDirectory("graft-ivf-resize").toString
     val t1b = System.nanoTime()
-    graft.rec.IvfIndex.build(e, dir3, k = resizedK, iters = 3)
+    graft.rec.IvfIndex.build(e, dir3, k = resizedK, iters = euclidBuildIters)
     val rebuildResizedMs = (System.nanoTime() - t1b) / 1e6
     val msResized = probeMedianMs(dir3)
     val gainResized = msAfter - msResized
@@ -296,7 +299,7 @@ object IndexBench {
       s""""ivfpq_probe_ms_resized":${math.round(pqMsResized)},""" +
       s""""ivfpq_resized_breakeven_probes":$pqBreakevenResized,""" +
       s""""cos_build_ms":${math.round(cosBuildMs)},""" +
-      s""""cos_build_iters":$cosBuildIters,"euclid_build_iters":3,""" +
+      s""""cos_build_iters":$cosBuildIters,"euclid_build_iters":$euclidBuildIters,""" +
       s""""cos_files_before":$cosFilesBefore,"cos_files_after":$cosFilesAfter,""" +
       s""""cos_cells_compacted":${cosStats.cells_compacted},""" +
       s""""cos_probe_ms_before":${math.round(cosMsBefore)},""" +

@@ -255,8 +255,14 @@ object StreamBench {
     // serve is omitted here — the r15 catalog sweep already measured it
     // dead an order of magnitude below these catalog sizes.
     val dppMode = sys.env.get("SPARK_GRAFT_STREAM_DPP").contains("1")
-    // PQ mode (r19): IVFADC serve pair on top of each DPP group
+    // PQ mode (r19): IVFADC serve pair on top of each DPP group. Only
+    // meaningful inside catalog+DPP mode — say so loudly rather than
+    // burn a full campaign emitting an artifact with no pq configs.
     val pqMode = sys.env.get("SPARK_GRAFT_STREAM_PQ").contains("1")
+    if (pqMode && (!dppMode || sys.env.get("SPARK_GRAFT_STREAM_CATALOG").isEmpty))
+      System.err.println("WARNING: SPARK_GRAFT_STREAM_PQ=1 has no effect " +
+        "without SPARK_GRAFT_STREAM_DPP=1 and SPARK_GRAFT_STREAM_CATALOG " +
+        "— no serve_pq_evict/serve_pqadc_evict configs will run")
     // r17 (VERDICT r16 item 3): the catalog axis's next decade (20M
     // items) outruns TWO broadcast regimes at once — the broadcast-ANN
     // serve measured dead at 2M, and the stream-static ENRICH join's

@@ -33,6 +33,11 @@ case class AdcCosine(left: Expression, right: Expression,
     extends BinaryExpression {
   require(codebooks.nonEmpty, "adc_cosine: no codebooks")
   require(codebooks.forall(_.nonEmpty), "adc_cosine: empty codebook")
+  // ragged centroids would AIOOBE mid-scan on executors; fail at
+  // construction (= analysis time on the SQL surface) instead
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)),
+    "adc_cosine: codebook centroids must all have the same length (got " +
+      codebooks.map(_.map(_.length).distinct.mkString("/")).mkString(", ") + ")")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

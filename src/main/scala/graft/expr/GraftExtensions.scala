@@ -32,12 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("nearest_codes"),
       new ExpressionInfo(classOf[NearestCodes].getName, "nearest_codes"),
-      (exprs: Seq[Expression]) => NearestCodes(exprs.head,
+      (exprs: Seq[Expression]) => NearestCodes(
+        GraftFunctions.arity(exprs, 2, "nearest_codes(v, codebooks)").head,
         GraftFunctions.codebookTable(exprs(1), "nearest_codes(v, codebooks)"))))
     e.injectFunction((
       FunctionIdentifier("adc_cosine"),
       new ExpressionInfo(classOf[AdcCosine].getName, "adc_cosine"),
-      (exprs: Seq[Expression]) => AdcCosine(exprs(0), exprs(1),
+      (exprs: Seq[Expression]) => AdcCosine(
+        GraftFunctions.arity(exprs, 3, "adc_cosine(q, codes, codebooks)")(0),
+        exprs(1),
         GraftFunctions.codebookTable(exprs(2), "adc_cosine(q, codes, codebooks)"))))
   }
 }

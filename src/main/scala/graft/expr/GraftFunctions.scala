@@ -29,12 +29,13 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_codes",
-      exprs => NearestCodes(exprs.head,
+      exprs => NearestCodes(arity(exprs, 2, "nearest_codes(v, codebooks)").head,
         codebookTable(exprs(1), "nearest_codes(v, codebooks)")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "adc_cosine",
-      exprs => AdcCosine(exprs(0), exprs(1),
+      exprs => AdcCosine(arity(exprs, 3, "adc_cosine(q, codes, codebooks)")(0),
+        exprs(1),
         codebookTable(exprs(2), "adc_cosine(q, codes, codebooks)")),
       "built-in")
     spark.udf.register("rmse_agg",
@@ -137,6 +138,18 @@ object GraftFunctions {
                 codebooks: Seq[Seq[Array[Double]]]): Column =
     call_function("adc_cosine", q, codes,
       typedLit(codebooks.map(_.map(_.toSeq))))
+
+  /** Arity gate for SQL-surface builders: a wrong-arity call must fail
+    * at analysis naming the function's signature, not with a bare
+    * IndexOutOfBoundsException from `exprs(2)`. */
+  private[expr] def arity(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int, signature: String)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    require(exprs.length == n,
+      s"$signature takes $n arguments, got ${exprs.length}")
+    exprs
+  }
 
   /** SQL-surface constant of [[NearestCodes]] / [[AdcCosine]]: the
     * nested codebook matrix is a MODEL, not data — must be a foldable

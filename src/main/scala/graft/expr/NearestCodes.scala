@@ -38,6 +38,11 @@ case class NearestCodes(child: Expression,
     extends UnaryExpression {
   require(codebooks.nonEmpty, "nearest_codes: no codebooks")
   require(codebooks.forall(_.nonEmpty), "nearest_codes: empty codebook")
+  // ragged centroids would AIOOBE mid-scan on executors; fail at
+  // construction (= analysis time on the SQL surface) instead
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)),
+    "nearest_codes: codebook centroids must all have the same length (got " +
+      codebooks.map(_.map(_.length).distinct.mkString("/")).mkString(", ") + ")")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable

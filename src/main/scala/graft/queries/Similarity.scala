@@ -1149,8 +1149,11 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val vhat = eraw.select(col("vec_id"),
         GraftFunctions.l2Normalize(col("emb")).as("emb"))
+      // no extra cache: lloydKMeansGrouped caches its final round, and
+      // each per-subspace view is collect()ed exactly once below — an
+      // added cache would park K-row blocks for the session
       val cbsDf = graft.rec.PqIndex
-        .trainCodebooks(vhat, PqS, PqSub, PqK, PqIters).map(_.cache())
+        .trainCodebooks(vhat, PqS, PqSub, PqK, PqIters)
       val cbSeq: Seq[Seq[Array[Double]]] = cbsDf.map { cb =>
         val rows = cb.select(col("cid").cast("int"), col("c")).collect()
           .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)

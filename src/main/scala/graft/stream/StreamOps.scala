@@ -627,11 +627,23 @@ object StreamOps {
     // one interest row per user (the routed relation carries nprobe
     // copies; the rerank needs exactly one) — deduplicated on the
     // driver, where the rows already live, not via an in-plan distinct
-    // (which would put a needless exchange inside the broadcast)
+    // (which would put a needless exchange inside the broadcast). The
+    // dedup is only sound when each userId carries ONE interest vector
+    // (true of the serve's caller — interestStream emits one state row
+    // per touched user per batch); with duplicates the ADC stage would
+    // score both but the rerank only the first, silently breaking the
+    // row-for-row contract — so assert the precondition instead
+    // (routed = users × nprobe rows exactly when userIds are unique).
     val uIdx = routedPlan.schema.fieldIndex("userId")
     val userRows = routedRows.groupBy(_.get(uIdx)).map(_._2.head).toArray
       .map(r => org.apache.spark.sql.Row(r.get(uIdx),
         r.get(routedPlan.schema.fieldIndex("interest"))))
+    require(userRows.length.toLong * nprobe == routedRows.length ||
+        routedRows.isEmpty,
+      s"topNForUsersAnnPartitionedPq requires one interest row per " +
+        s"userId (got ${routedRows.length} routed rows for " +
+        s"${userRows.length} users at nprobe=$nprobe): the shortlist " +
+        "rerank pairs each user with a single vector")
     val userVecs = spark.createDataFrame(
       java.util.Arrays.asList(userRows: _*),
       org.apache.spark.sql.types.StructType(Seq(

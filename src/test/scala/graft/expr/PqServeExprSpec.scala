@@ -164,6 +164,14 @@ class PqServeExprSpec extends SparkSpec {
   }
 
   test("NearestCodes == the relational PqIndex encoder (q109's oracle path)") {
+    // Tie-contract note: the relational encoder argmins over
+    // 6dp-ROUNDED distances with a cid tiebreak; NearestCodes argmins
+    // UNROUNDED with a first-index tiebreak. The two agree exactly when
+    // no two codebook distances sit within 1e-6 of each other — the
+    // sin-based corpus below is margin-rich by construction (distances
+    // differ at the 1e-2 scale), so a failure here means an encoder
+    // changed, not that a fixture wandered onto a rounding boundary.
+    // (q133 mirrors the UNROUNDED contract in SQL for the same reason.)
     import spark.implicits._
     val s = 2; val subDim = 4; val k = 4
     val e = unitCorpus(60)
@@ -337,6 +345,26 @@ class PqServeExprSpec extends SparkSpec {
         .collect()
     }
     assert(e5.getMessage.toLowerCase.contains("nearest_codes"), e5.getMessage)
+    // wrong ARITY fails naming the signature, not IndexOutOfBounds
+    val e6 = intercept[Exception] {
+      spark.sql("SELECT adc_cosine(array(1.0d), array(0))").collect()
+    }
+    assert(e6.getMessage.contains("takes 3 arguments"), e6.getMessage)
+    val e7 = intercept[Exception] {
+      spark.sql("SELECT nearest_codes(array(1.0d))").collect()
+    }
+    assert(e7.getMessage.contains("takes 2 arguments"), e7.getMessage)
+    // RAGGED codebooks fail at analysis, not as an executor AIOOBE
+    val e8 = intercept[Exception] {
+      spark.sql("SELECT adc_cosine(array(1.0d, 0.0d), array(0, 0), " +
+        "array(array(array(1.0d, 0.0d)), array(array(0.5d))))").collect()
+    }
+    assert(e8.getMessage.contains("same length"), e8.getMessage)
+    val e9 = intercept[Exception] {
+      spark.sql("SELECT nearest_codes(array(1.0d), " +
+        "array(array(array(1.0d, 0.0d), array(0.5d))))").collect()
+    }
+    assert(e9.getMessage.contains("same length"), e9.getMessage)
     // happy path on the SQL surface
     val ok = spark.sql(
       """SELECT adc_cosine(array(1.0d, 0.0d), nearest_codes(array(1.0d, 0.0d),
