@@ -218,6 +218,40 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/pq_cells")
   }
 
+  /** [[appendLarge]]'s PQ twin (r19): encode NEW vectors with the
+    * STORED codebooks — frozen, exactly like the coarse quantizer in
+    * the append regime — and append their codes to `pq_cells` under the
+    * SAME cids [[appendLarge]] files the raw vectors in (same
+    * [[graft.expr.NearestCells]] cosine argmax over the stored
+    * centroids, so the two tables stay row-for-row mirrors). Without
+    * this, an append leaves `pq_cells` stale and the PQ serve silently
+    * misses the increment; with it, append-day maintenance is two
+    * one-pass scans of the increment and nothing on disk is rewritten.
+    * Codebooks are retrained only with the quantizer (a fresh
+    * [[encodePqLarge]] after a rebuild) — per-subspace code geometry
+    * drifts with the same distribution shift cell geometry does. */
+  def appendPqLarge(spark: SparkSession, vectors: DataFrame, dir: String): Unit = {
+    GraftFunctions.register(spark)
+    val centSeq = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid").cast("int"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val cbs = readPqCodebooks(spark, dir)
+    vectors
+      .withColumn("cid",
+        element_at(GraftFunctions.nearestCells(col("emb"), centSeq, 1), 1))
+      .withColumn("codes", GraftFunctions.nearestCodes(col("emb"), cbs))
+      .select(col("vec_id"), col("codes"), col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/pq_cells")
+  }
+
+  /** [[compact]] for the PQ codes table — the same maintenance pass
+    * ([[IndexMaintenance.compactCells]] is layout-generic) over
+    * `$dir/pq_cells`, which [[appendPqLarge]] fragments exactly as
+    * [[append]] fragments the raw cells. */
+  def compactPq(spark: SparkSession, dir: String,
+                maxFilesPerCell: Int = 8): CompactStats =
+    IndexMaintenance.compactCells(spark, s"$dir/pq_cells", maxFilesPerCell)
+
   /** The stored per-subspace PQ codebooks of an [[encodePqLarge]] index
     * as the driver-side MODEL the serve expressions carry (s × k ×
     * subDim doubles — ~130 KB at the defaults): outer Seq ordered by

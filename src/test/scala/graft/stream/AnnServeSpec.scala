@@ -397,6 +397,60 @@ class AnnServeSpec extends SparkSpec {
       s"PQ serve batches accumulated storage blocks: $blocksBefore -> $blocksAfter")
   }
 
+  test("PQ append/compact: pq_cells tracks appendLarge increments; serve stable across compactPq") {
+    // r19: the PQ lifecycle's append regime. appendLarge alone leaves
+    // pq_cells STALE (the serve would silently miss the increment);
+    // appendPqLarge encodes the increment with the FROZEN stored
+    // codebooks under the same cids, keeping the two tables row-for-row
+    // mirrors — and compactPq is the shared maintenance pass.
+    val items = spark.range(1200).select(
+      col("id").cast("int").as("itemId"),
+      expr("""transform(sequence(0, 15), j ->
+                sin(CAST((id % 12) * 97 + j AS DOUBLE)) +
+                0.1 * sin(CAST(id * 31 + j * 7 AS DOUBLE)))""").as("features"))
+      .cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-append").toString
+    val firstHalf = items.where(col("itemId") < 600)
+    val rest = items.where(col("itemId") >= 600)
+    val (cent, _) = StreamOps.buildServeIndexPartitioned(firstHalf, dir, k = 8)
+    graft.rec.IvfIndex.encodePqLarge(spark, dir, s = 4, subDim = 4,
+      k = 32, iters = 5)
+    val restVecs = rest
+      .select(col("itemId").as("vec_id"), col("features").as("emb"))
+    graft.rec.IvfIndex.appendLarge(spark, restVecs, dir)
+    graft.rec.IvfIndex.appendPqLarge(spark, restVecs, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    val pq = spark.read.parquet(s"$dir/pq_cells")
+    // (1) still row-for-row mirrors after the paired appends
+    val layoutDiff = cells.select(col("vec_id"), col("cid"))
+      .exceptAll(pq.select(col("vec_id"), col("cid"))).count() +
+      pq.select(col("vec_id"), col("cid"))
+        .exceptAll(cells.select(col("vec_id"), col("cid"))).count()
+    assert(layoutDiff == 0, "pq_cells diverged from cells after append")
+    // (2) appended codes == a full re-encode under the stored codebooks
+    val cbs = graft.rec.IvfIndex.readPqCodebooks(spark, dir)
+    val reEnc = cells.select(col("vec_id"),
+      graft.expr.GraftFunctions.nearestCodes(col("emb"), cbs).as("codes"))
+    assert(reEnc.exceptAll(pq.select(col("vec_id"), col("codes"))).count() == 0,
+      "appended codes != frozen-codebook re-encode")
+    // (3) the PQ serve sees the increment, and compactPq (which the
+    // paired appends fragmented) changes nothing about its results
+    val interests = items.where(col("itemId") % 17 === 0)
+      .select(col("itemId").as("userId"), col("features").as("interest"))
+    def serve() = StreamOps.topNForUsersAnnPartitionedPq(interests, cent,
+      StreamOps.readServeIndexPq(spark, dir)._1, cbs,
+      StreamOps.readServeCells(spark, dir), n, shortlist = 0)
+    val before = serve().collect().toSet
+    val served = before.map(_.getInt(1)) // itemId column
+    assert(served.exists(_ >= 600),
+      "PQ serve never returns appended items — pq_cells stale")
+    val stats = graft.rec.IvfIndex.compactPq(spark, dir, maxFilesPerCell = 1)
+    assert(stats.files_after < stats.files_before,
+      s"compactPq rewrote nothing: $stats")
+    assert(serve().collect().toSet == before,
+      "PQ serve results changed across compactPq")
+  }
+
   test("isotropic fixture: selectivity floor and self-retrieval hold") {
     val items = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
       .select(col("vec_id").cast("int").as("itemId"),
