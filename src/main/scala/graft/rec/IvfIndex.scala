@@ -118,12 +118,18 @@ object IvfIndex {
     centSeq.toDF("cid", "c").write.mode("overwrite")
       .parquet(s"$dir/centroids")
     // one streaming pass: no join, no aggregate, no shuffle but the
-    // final repartition-by-cid that makes each cell one file
+    // final repartition-by-cid that makes each cell one file. Rows are
+    // vec_id-sorted within each cell file (r20, VERDICT r19 item 4):
+    // the partitioned write sorts by the partition column anyway, so
+    // widening that sort to (cid, vec_id) is free, gives parquet
+    // monotone vec_id row-group/page statistics for the PQ serve's
+    // rerank point-fetch, and delta-encodes the id column tighter.
     vectors
       .withColumn("cid",
         element_at(GraftFunctions.nearestCells(col("emb"), centSeq, 1), 1))
       .select(col("vec_id"), col("emb"), col("cid"))
       .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
   }
 
@@ -215,6 +221,7 @@ object IvfIndex {
       .withColumn("codes", GraftFunctions.nearestCodes(col("emb"), codebooks))
       .select(col("vec_id"), col("codes"), col("cid"))
       .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/pq_cells")
   }
 

@@ -399,12 +399,19 @@ object StreamOps {
     * projection, so K is bounded by quantizer-training and layout cost,
     * not expression size. Floor 64 (below the broadcast arm's cap the
     * broadcast arm is simply better — a catalog that small fits in one
-    * broadcast); cap 4096 bounds the centroid broadcast (K × dim
-    * doubles ≈ 2 MB at the cap) and the partition-directory count a
-    * single index writes. At 2M items the law gives 2000 cells: ~1000
-    * items per cell, per-event scan nprobe/K = 0.1% of the catalog. */
-  def serveCellsPartitioned(nItems: Long, nprobe: Int = 2): Int =
-    math.max(64, math.min(4096,
+    * broadcast); the default cap 4096 bounds the centroid broadcast
+    * (K × dim doubles ≈ 2 MB at the cap) and the partition-directory
+    * count a single index writes. At 2M items the law gives 2000
+    * cells: ~1000 items per cell, per-event scan nprobe/K = 0.1% of
+    * the catalog. `cap` is a parameter since r20 (VERDICT r19 item 2):
+    * past ~8.4M items the cap binds and scored pairs per batch grow as
+    * users × nprobe × N/cap — the 20M-regime bound — so the bench can
+    * price lifting it to the law's uncapped √(nprobe·N) (6325 at 20M;
+    * build cost is the N·K assignment flops, the trade the
+    * STREAMBENCH_r20 kcap arm measures). */
+  def serveCellsPartitioned(nItems: Long, nprobe: Int = 2,
+                            cap: Int = 4096): Int =
+    math.max(64, math.min(cap,
       math.ceil(math.sqrt(nprobe.toDouble * nItems)).toInt))
 
   /** Build the cid-partitioned serve index under `dir` — a thin adapter
@@ -614,42 +621,64 @@ object StreamOps {
         GraftFunctions.adcCosine(col("interest"), col("codes"), codebooks))
       .where(col("score").isNotNull)
     if (shortlist <= 0) return topNByUser(adcScored, n, itemType)
-    // shortlist mode: bounded per-user ADC top-`shortlist`, collected to
-    // a driver-local relation (the routed-table discipline: it is the
-    // fetch join's broadcast side anyway, and a local relation leaves no
-    // storage blocks behind) — then exact-cosine rerank of exactly
-    // those (userId, itemId) pairs
+    // shortlist mode. One interest row per user (the routed relation
+    // carries one copy per probed cell; the rerank needs exactly one) —
+    // deduplicated on the driver, where the rows already live, not via
+    // an in-plan distinct (which would put a needless exchange inside
+    // the broadcast). The dedup is only sound when each userId carries
+    // ONE interest vector (true of the serve's caller — interestStream
+    // emits one state row per touched user per batch); with duplicates
+    // the ADC stage would score both but the rerank only the first,
+    // silently breaking the row-for-row contract — so assert the
+    // precondition instead (routed = users × routes-per-user rows
+    // exactly when userIds are unique; routes per user is
+    // min(nprobe, K), NearestCells' contract when an index has fewer
+    // cells than probes — ADVICE r19). Checked HERE, before the ADC
+    // shortlist collect below pays a second job on a batch that would
+    // only fail afterwards.
+    val uIdx = routedPlan.schema.fieldIndex("userId")
+    val userRows = routedRows.groupBy(_.get(uIdx)).map(_._2.head).toArray
+      .map(r => org.apache.spark.sql.Row(r.get(uIdx),
+        r.get(routedPlan.schema.fieldIndex("interest"))))
+    val routesPerUser = math.min(nprobe, centSeq.length)
+    require(userRows.length.toLong * routesPerUser == routedRows.length ||
+        routedRows.isEmpty,
+      s"topNForUsersAnnPartitionedPq requires one interest row per " +
+        s"userId (got ${routedRows.length} routed rows for " +
+        s"${userRows.length} users at min(nprobe=$nprobe, K=" +
+        s"${centSeq.length})=$routesPerUser routes/user): the " +
+        "shortlist rerank pairs each user with a single vector")
+    // bounded per-user ADC top-`shortlist`, collected to a driver-local
+    // relation (the routed-table discipline: it is the fetch join's
+    // broadcast side anyway, and a local relation leaves no storage
+    // blocks behind) — then exact-cosine rerank of exactly those
+    // (userId, itemId) pairs
     val slPlan = topNByUser(adcScored, shortlist, itemType)
       .select(col("userId"), col("itemId"))
     val slRows = slPlan.collect()
     val sl = spark.createDataFrame(
       java.util.Arrays.asList(slRows: _*), slPlan.schema)
-    // one interest row per user (the routed relation carries nprobe
-    // copies; the rerank needs exactly one) — deduplicated on the
-    // driver, where the rows already live, not via an in-plan distinct
-    // (which would put a needless exchange inside the broadcast). The
-    // dedup is only sound when each userId carries ONE interest vector
-    // (true of the serve's caller — interestStream emits one state row
-    // per touched user per batch); with duplicates the ADC stage would
-    // score both but the rerank only the first, silently breaking the
-    // row-for-row contract — so assert the precondition instead
-    // (routed = users × nprobe rows exactly when userIds are unique).
-    val uIdx = routedPlan.schema.fieldIndex("userId")
-    val userRows = routedRows.groupBy(_.get(uIdx)).map(_._2.head).toArray
-      .map(r => org.apache.spark.sql.Row(r.get(uIdx),
-        r.get(routedPlan.schema.fieldIndex("interest"))))
-    require(userRows.length.toLong * nprobe == routedRows.length ||
-        routedRows.isEmpty,
-      s"topNForUsersAnnPartitionedPq requires one interest row per " +
-        s"userId (got ${routedRows.length} routed rows for " +
-        s"${userRows.length} users at nprobe=$nprobe): the shortlist " +
-        "rerank pairs each user with a single vector")
     val userVecs = spark.createDataFrame(
       java.util.Arrays.asList(userRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         routedPlan.schema("userId"), routedPlan.schema("interest"))))
+    // the shortlist's itemIds ride into the fetch as a LITERAL In
+    // besides the cid partition filter (r20, VERDICT r19 item 4): the
+    // ids are already on the driver, and rows are vec_id-sorted within
+    // each cell file since the r20 buildLarge write, so whatever
+    // row-group/page pruning parquet can extract from the pushed
+    // predicate is free — and rows that can't survive the sl join no
+    // longer probe it. Measured honestly at 2M (§8.15): the cell files
+    // are single-row-group at these cell populations and the In
+    // pushdown degrades to a full-range min/max above the 10-value
+    // threshold, so the decode bound does NOT move — the filter is
+    // kept for the join-probe savings and for storage layouts (larger
+    // cells, row stores) where the pushdown does bite.
+    val slIdIdx = slPlan.schema.fieldIndex("itemId")
+    val slIds = slRows.map(_.get(slIdIdx)).distinct
     val fetched = rawCells
-      .where(col("cid").isin(touched.toIndexedSeq.map(Int.box): _*))
+      .where(col("cid").isin(touched.toIndexedSeq.map(Int.box): _*) &&
+        col("itemId").isin(slIds.toIndexedSeq: _*))
       .join(broadcast(sl), Seq("itemId"))
       .join(broadcast(userVecs), Seq("userId"))
     val reranked = fetched.withColumn("score",
