@@ -662,23 +662,24 @@ object StreamOps {
       java.util.Arrays.asList(userRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         routedPlan.schema("userId"), routedPlan.schema("interest"))))
-    // the shortlist's itemIds ride into the fetch as a LITERAL In
-    // besides the cid partition filter (r20, VERDICT r19 item 4): the
-    // ids are already on the driver, and rows are vec_id-sorted within
-    // each cell file since the r20 buildLarge write, so whatever
-    // row-group/page pruning parquet can extract from the pushed
-    // predicate is free — and rows that can't survive the sl join no
-    // longer probe it. Measured honestly at 2M (§8.15): the cell files
-    // are single-row-group at these cell populations and the In
-    // pushdown degrades to a full-range min/max above the 10-value
-    // threshold, so the decode bound does NOT move — the filter is
-    // kept for the join-probe savings and for storage layouts (larger
-    // cells, row stores) where the pushdown does bite.
-    val slIdIdx = slPlan.schema.fieldIndex("itemId")
-    val slIds = slRows.map(_.get(slIdIdx)).distinct
+    // The fetch deliberately carries NO per-itemId literal predicate
+    // (r20, VERDICT r19 item 4 — tried and MEASURED OUT): pushing the
+    // shortlist's ~users×shortlist ids as a literal In looked free
+    // (the ids already sit on the driver, and cells are vec_id-sorted
+    // within each file since the r20 buildLarge write), but at 2M items
+    // it multiplied rerank-mode p50 4.3× (60.3 s vs 13.9 s,
+    // STREAMBENCH_r20 probe vs the r19 pair) — a predicate with tens
+    // of thousands of literal children is quadratic-ish in the
+    // optimizer (constraint propagation walks it per rule, per
+    // micro-batch replan), while buying no scan pruning here: parquet's
+    // In pushdown degrades to a full-range min/max above the 10-value
+    // threshold, and a ~1000-row cell file is a single row group /
+    // page anyway, so every touched cell is decoded whole regardless.
+    // The broadcast semi-join below does the same row filtering at
+    // hash-lookup cost. The honest mitigations stay as documented: a
+    // row store in front of latency-critical rerank, or ADC-only mode.
     val fetched = rawCells
-      .where(col("cid").isin(touched.toIndexedSeq.map(Int.box): _*) &&
-        col("itemId").isin(slIds.toIndexedSeq: _*))
+      .where(col("cid").isin(touched.toIndexedSeq.map(Int.box): _*))
       .join(broadcast(sl), Seq("itemId"))
       .join(broadcast(userVecs), Seq("userId"))
     val reranked = fetched.withColumn("score",
