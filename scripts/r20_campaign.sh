@@ -22,6 +22,10 @@ extract() { # log, metric, out
 
 # One stream-bench run: $1=catalog spec, $2=secs, $3=kcap, $4=artifact tag
 dpp_run() {
+  # De-aliased 20M builds leave ~10 GB index trees under /tmp when a
+  # run CRASHES (clean exits self-delete); three stale trees filled the
+  # disk and killed the first dpp20k_a mid-write. Sweep before each run.
+  rm -rf /tmp/graft-sb-*
   SPARK_GRAFT_STREAM_DPP=1 SPARK_GRAFT_STREAM_PQ=1 \
     SPARK_GRAFT_STREAM_CATALOG="$1" \
     SPARK_GRAFT_STREAM_SECS="$2" SPARK_GRAFT_STREAM_KCAP="$3" \
