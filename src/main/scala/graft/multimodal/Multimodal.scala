@@ -30,14 +30,18 @@ case class Mp4Meta(brand: String, timescale: Int, duration_ms: Long,
   * extraction, frame sampling — is implemented and tested. The codec step
   * is REAL for images (`javax.imageio`, JDK built-in: PNG/JPEG/GIF/BMP
   * payloads decode to actual pixel features), for audio METADATA
-  * ([[wavMeta]] parses RIFF/WAVE headers byte-for-byte — q115), and for
+  * ([[wavMeta]] parses RIFF/WAVE headers byte-for-byte — q115) and
+  * SAMPLES ([[wavPcmStats]] decodes every 16-bit PCM frame — q124), for
   * video METADATA ([[mp4Meta]] walks ISO-BMFF boxes byte-for-byte —
-  * q123); audio/video SAMPLE data falls back to a deterministic STUB
-  * (this container has no media libraries) — swap
-  * [[Multimodal.stubPixels]] for an ffmpeg binding without touching any
-  * plumbing. Undecodable image bytes also fall back to the stub rather
-  * than failing the batch (corrupt payloads are data, not errors, in a
-  * 100 TB crawl).
+  * q123), and — since r20 — for video FRAME PIXELS of the intra-coded
+  * MJPEG family: [[mp4FrameRanges]] runs the real stsz/stco/stsc
+  * sample-location algorithm and each extracted frame decodes through
+  * `javax.imageio` (q134 certifies the round trip pixel-exactly).
+  * Only inter-coded video (H.264/HEVC — no pure-JVM decoder exists)
+  * falls back to the deterministic STUB — swap [[Multimodal.stubPixels]]
+  * for an ffmpeg binding without touching any plumbing. Undecodable
+  * image bytes also fall back to the stub rather than failing the batch
+  * (corrupt payloads are data, not errors, in a 100 TB crawl).
   *
   * Scale notes: payloads stay in executor memory only one partition-batch
   * at a time (`mapPartitions`, no collect); metadata-only queries never
@@ -260,20 +264,27 @@ object Multimodal {
     * `durationTicks` is in `timescale` units (mvhd and mdhd share the
     * timescale here); `width`/`height` land in tkhd as 16.16 fixed
     * point; `nFrames` is the single stts entry's sample count. */
+  // -- ISO-BMFF box-writer helpers (shared by mp4Bytes and mp4BytesFrames) --
+  private def box(id: String, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + body.length) // big-endian default
+    b.putInt(8 + body.length).put(id.getBytes("US-ASCII")).put(body)
+    b.array()
+  }
+  private def full(id: String, body: Array[Byte]): Array[Byte] =
+    box(id, Array[Byte](0, 0, 0, 0) ++ body) // version 0, flags 0
+  private def be(ints: Int*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 * ints.length)
+    ints.foreach(b.putInt); b.array()
+  }
+  private def be16(shorts: Int*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 * shorts.length)
+    shorts.foreach(v => b.putShort(v.toShort)); b.array()
+  }
+  private def identityMatrix: Array[Byte] =
+    be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
   def mp4Bytes(timescale: Int, durationTicks: Int, width: Int, height: Int,
                nFrames: Int, seed: Long): Array[Byte] = {
-    def box(id: String, body: Array[Byte]): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(8 + body.length) // big-endian default
-      b.putInt(8 + body.length).put(id.getBytes("US-ASCII")).put(body)
-      b.array()
-    }
-    def full(id: String, body: Array[Byte]): Array[Byte] =
-      box(id, Array[Byte](0, 0, 0, 0) ++ body) // version 0, flags 0
-    def be(ints: Int*): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(4 * ints.length)
-      ints.foreach(b.putInt); b.array()
-    }
-    val identityMatrix = be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
     val ftyp = box("ftyp",
       "isom".getBytes("US-ASCII") ++ be(0x200) ++
         "isommp41".getBytes("US-ASCII"))
@@ -296,6 +307,81 @@ object Multimodal {
       be(0) ++ "vide".getBytes("US-ASCII") ++ be(0, 0, 0) ++ Array[Byte](0))
     val stts = full("stts", be(1, nFrames, math.max(durationTicks / math.max(nFrames, 1), 1)))
     val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", box("stbl", stts)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+  }
+
+  /** ISO-BMFF writer with a REAL sample table ([[mp4Bytes]] carries only
+    * an stts count; this carries the frames themselves): `mdat` holds the
+    * concatenated coded frame bytes and `stbl` gains the three boxes a
+    * player needs to LOCATE them — `stsz` (per-sample sizes), `stco`
+    * (chunk offsets into the file) and `stsc` (chunk → sample-count
+    * runs) — plus `stsd` (a VisualSampleEntry whose 4CC is `format`,
+    * e.g. `png ` / `jpeg` for intra-coded MJPEG-family tracks) and the
+    * `vmhd`/`dinf{dref{url }}` boxes a well-formed video `minf`
+    * requires. `samplesPerChunk` below the frame count splits the mdat
+    * into multiple chunks (adjacent here, as in flat-file muxers), so
+    * `stsc` carries a run per chunk size — the general layout
+    * [[mp4FrameRanges]]'s walk must handle, including the trailing
+    * partial chunk's second run. Pure function of its arguments. */
+  def mp4BytesFrames(timescale: Int, durationTicks: Int, width: Int,
+                     height: Int, frames: Seq[Array[Byte]],
+                     samplesPerChunk: Int = Int.MaxValue,
+                     format: String = "png "): Array[Byte] = {
+    require(frames.nonEmpty && samplesPerChunk > 0 && format.length == 4,
+      s"mp4BytesFrames needs frames, a positive chunk size and a 4CC " +
+        s"(got ${frames.length} frames, spc $samplesPerChunk, '$format')")
+    val nFrames = frames.length
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be(0x200) ++
+        "isommp41".getBytes("US-ASCII"))
+    val mdat = box("mdat", frames.toArray.flatten)
+    // chunking: full chunks of `spc` samples + an optional trailing rest
+    val spc = math.min(samplesPerChunk, nFrames)
+    val nFullChunks = nFrames / spc
+    val rest = nFrames % spc
+    val mdatDataOff = ftyp.length + 8 // first frame's absolute file offset
+    val chunkOffsets = {
+      var off = mdatDataOff.toLong
+      var s = 0
+      (0 until nFullChunks + (if (rest > 0) 1 else 0)).map { _ =>
+        val here = off
+        val take = math.min(spc, nFrames - s)
+        (0 until take).foreach { i => off += frames(s + i).length; }
+        s += take
+        here.toInt
+      }
+    }
+    val stsd = full("stsd", be(1) ++ box(format,
+      Array.fill[Byte](6)(0) ++ be16(1) ++      // reserved, data_ref_index
+        be16(0, 0) ++ be(0, 0, 0) ++            // pre_defined, reserved, pre_defined[3]
+        be16(width, height) ++
+        be(0x00480000, 0x00480000) ++           // 72 dpi horizontal/vertical
+        be(0) ++ be16(1) ++                     // reserved, frame_count 1
+        Array.fill[Byte](32)(0) ++              // compressorname (empty)
+        be16(24, 0xFFFF)))                      // depth 24, pre_defined -1
+    val stts = full("stts",
+      be(1, nFrames, math.max(durationTicks / nFrames, 1)))
+    val stsc = full("stsc",
+      if (rest == 0) be(1, 1, spc, 1)
+      else be(2, 1, spc, 1, nFullChunks + 1, rest, 1))
+    val stsz = full("stsz", be(0, nFrames) ++ be(frames.map(_.length): _*))
+    val stco = full("stco", be(chunkOffsets.length) ++ be(chunkOffsets: _*))
+    val vmhd = box("vmhd", be(1) ++ be16(0, 0, 0, 0)) // flags 1; graphicsmode copy
+    val dinf = box("dinf", full("dref", be(1) ++ box("url ", be(1))))
+    val mvhd = full("mvhd",
+      be(0, 0, timescale, durationTicks, 0x10000) ++
+        Array[Byte](1, 0) ++ Array.fill[Byte](10)(0) ++
+        identityMatrix ++ be(0, 0, 0, 0, 0, 0, 2))
+    val tkhd = box("tkhd",
+      be(3) ++ be(0, 0, 1, 0, durationTicks) ++ be(0, 0) ++
+        Array.fill[Byte](8)(0) ++ identityMatrix ++
+        be(width << 16, height << 16))
+    val mdhd = full("mdhd",
+      be(0, 0, timescale, durationTicks) ++ Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val hdlr = full("hdlr",
+      be(0) ++ "vide".getBytes("US-ASCII") ++ be(0, 0, 0) ++ Array[Byte](0))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", vmhd ++ dinf ++ stbl))
     ftyp ++ mdat ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
   }
 
@@ -353,8 +439,132 @@ object Multimodal {
         trackId, w, h, nFrames)
   }
 
+  /** Locate every sample's (offset, size) byte range from the ISO-BMFF
+    * sample table — the real player algorithm over `stsz` (per-sample
+    * sizes), `stco` (per-chunk file offsets) and `stsc` (runs of
+    * chunk → samples-per-chunk): walk chunks in order, each taking the
+    * samples-per-chunk of the last `stsc` run whose `first_chunk` it has
+    * reached; within a chunk samples are contiguous, so offsets
+    * accumulate the preceding sizes. First video track only (the
+    * [[mp4Meta]] scope). `None` for anything malformed — a missing box,
+    * a non-positive or non-ascending `stsc` run, chunks that don't
+    * cover exactly the `stsz` sample count, or any range overrunning
+    * the payload (declared sizes are unsigned 32-bit, validated in
+    * `Long`) — corrupt payloads are data, not errors, in a 100 TB
+    * crawl. */
+  def mp4FrameRanges(payload: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    if (payload.length < 8) return None
+    val buf = java.nio.ByteBuffer.wrap(payload) // big-endian default
+    def tag(at: Int): String = new String(payload, at, 4, "US-ASCII")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var sizes: Option[Array[Long]] = None
+    var chunkOffs: Option[Array[Long]] = None
+    var runs: Option[Array[(Int, Int)]] = None // (first_chunk, samples/chunk)
+    def u32(at: Int): Long = buf.getInt(at).toLong & 0xffffffffL
+    def walk(from: Int, to: Int): Boolean = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size = u32(pos)
+        if (size < 8 || pos + size > to) return false
+        val end = pos + size.toInt
+        tag(pos + 4) match {
+          case c if containers(c) => if (!walk(pos + 8, end)) return false
+          case "stsz" if size >= 20 && sizes.isEmpty =>
+            val uniform = u32(pos + 12)
+            val n = u32(pos + 16)
+            if (n > Int.MaxValue) return false
+            if (uniform != 0L) sizes = Some(Array.fill(n.toInt)(uniform))
+            else {
+              if (pos + 20 + 4L * n > end) return false
+              sizes = Some(Array.tabulate(n.toInt)(i => u32(pos + 20 + i * 4)))
+            }
+          case "stco" if size >= 16 && chunkOffs.isEmpty =>
+            val n = u32(pos + 12)
+            if (pos + 16 + 4L * n > end) return false
+            chunkOffs = Some(Array.tabulate(n.toInt)(i => u32(pos + 16 + i * 4)))
+          case "stsc" if size >= 16 && runs.isEmpty =>
+            val n = u32(pos + 12)
+            if (pos + 16 + 12L * n > end) return false
+            runs = Some(Array.tabulate(n.toInt) { i =>
+              (buf.getInt(pos + 16 + i * 12), buf.getInt(pos + 20 + i * 12))
+            })
+          case _ => () // unknown leaf boxes are skipped, per the spec
+        }
+        pos = end
+      }
+      true
+    }
+    if (!walk(0, payload.length)) return None
+    for {
+      sz <- sizes
+      co <- chunkOffs
+      rs <- runs
+      // stsc runs must start at chunk 1, ascend, and carry positive counts
+      if rs.nonEmpty && rs.head._1 == 1 && rs.forall(_._2 > 0) &&
+        rs.sliding(2).forall(w => w.length < 2 || w(0)._1 < w(1)._1)
+      ranges <- {
+        val out = Vector.newBuilder[(Int, Int)]
+        var sample = 0
+        var run = 0
+        var ok = true
+        var ci = 0
+        while (ok && ci < co.length && sample < sz.length) {
+          val chunkNo = ci + 1
+          while (run + 1 < rs.length && rs(run + 1)._1 <= chunkNo) run += 1
+          var off = co(ci)
+          var k = 0
+          while (ok && k < rs(run)._2 && sample < sz.length) {
+            val n = sz(sample)
+            if (off < 0 || n < 0 || off + n > payload.length) ok = false
+            else {
+              out += ((off.toInt, n.toInt)); off += n; sample += 1; k += 1
+            }
+          }
+          ci += 1
+        }
+        if (ok && sample == sz.length && sz.nonEmpty) Some(out.result())
+        else None
+      }
+    } yield ranges
+  }
+
+  /** Slice each located sample's coded bytes out of the payload — the
+    * frame-extraction half of real video decode ([[mp4FrameRanges]]
+    * for how they are found). */
+  def mp4Frames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    mp4FrameRanges(payload).map(_.map { case (off, n) =>
+      java.util.Arrays.copyOfRange(payload, off, off + n)
+    })
+
+  /** REAL video frame-pixel decode (the face rounds 9–19 held as "no
+    * codecs in-container"): extract every coded frame via the sample
+    * table and decode it with the JDK's own `javax.imageio` readers —
+    * real for the intra-coded MJPEG family (PNG/JPEG/GIF/BMP samples,
+    * the formats `ImageIO` ships), which is exactly what
+    * [[mp4BytesFrames]] writes; inter-coded codecs (H.264/HEVC) still
+    * have no pure-JVM decoder and fall back to the stub at the
+    * [[decodePixels]] dispatch. Feature = the per-frame
+    * [[imageFeatures]] averaged over frames. `None` unless the payload
+    * carries a locatable sample table whose every frame ImageIO
+    * accepts. */
+  def videoFrameFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    mp4Frames(payload).flatMap { frames =>
+      val imgs = frames.map { f =>
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        catch { case _: java.io.IOException => null }
+      }
+      if (imgs.isEmpty || imgs.exists(_ == null)) None
+      else {
+        val feats = imgs.map(imageFeatures)
+        Some(Array.tabulate(8)(i => feats.map(_(i)).sum / feats.length))
+      }
+    }
+
   /** Codec dispatch: real `javax.imageio` decode for images (any format
-    * the JDK readers accept), [[stubPixels]] otherwise. */
+    * the JDK readers accept), real sample-table walk + per-frame
+    * `javax.imageio` decode for videos whose frames the JDK readers
+    * accept (the MJPEG family — [[videoFrameFeatures]]), [[stubPixels]]
+    * otherwise. */
   private[multimodal] def decodePixels(kind: String,
       payload: Array[Byte]): Array[Float] =
     if (kind == "image") {
@@ -362,6 +572,8 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
       if (img == null) stubPixels(payload) else imageFeatures(img)
+    } else if (kind == "video") {
+      videoFrameFeatures(payload).getOrElse(stubPixels(payload))
     } else stubPixels(payload)
 
   /** Decode stage as a typed per-partition batch map — the Scala analogue

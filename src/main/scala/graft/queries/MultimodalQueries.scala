@@ -6,9 +6,11 @@ import graft.Q
 import graft.multimodal.Multimodal
 
 /** Oracle-checked faces of the multimodal plumbing (graft.multimodal):
-  * metadata extraction + declarative resize, and video frame sampling.
-  * The stubbed decode stage (mapPartitions batch map) is covered by
-  * MultimodalSpec instead — a codec isn't SQL.
+  * metadata extraction + declarative resize, video frame sampling, and
+  * the synth→parse round trips through the REAL codecs (WAV headers
+  * q115, PCM samples q124, MP4 boxes q123, video frame pixels q134).
+  * The feature-vector decode stage (mapPartitions batch map) is covered
+  * by MultimodalSpec instead — a float feature isn't SQL.
   */
 object MultimodalQueries {
 
@@ -168,9 +170,9 @@ object MultimodalQueries {
     }
   )
 
-  /** REAL audio SAMPLE decode (VERDICT r10 item 4 — the one remaining
-    * synthetic-sample face closable pure-JVM; video frame pixels stay
-    * out of scope, no codecs in-container): for every audio row,
+  /** REAL audio SAMPLE decode (VERDICT r10 item 4 — held rounds 10–19
+    * as the one synthetic-sample face closable pure-JVM; q134 has since
+    * closed the video one too): for every audio row,
     * synthesize interleaved 16-bit PCM samples from a closed form both
     * engines can state (`((id·40503 + i·2654435761) mod 2^16) − 2^15`,
     * exact in 64-bit integers), write them through
@@ -231,5 +233,91 @@ object MultimodalQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(mediaMeta, frameSample, audioMeta, videoMeta, audioPcm)
+  /** REAL video FRAME-PIXEL decode (q124's video sibling — the last
+    * synthetic media face, held rounds 9–19 as "no codecs in-container":
+    * closable after all, because ISO-BMFF frame LOCATION is a byte walk
+    * and the JDK's own `javax.imageio` IS a real codec for the
+    * intra-coded MJPEG family). For every video row, synthesize real
+    * PNG-coded frames — solid color per frame from a closed form both
+    * engines can state — mux them into a REAL ISO-BMFF payload with a
+    * full sample table ([[graft.multimodal.Multimodal.mp4BytesFrames]]:
+    * stsd/stts/stsc/stsz/stco; samples-per-chunk varies by doc so the
+    * multi-chunk stsc walk is on the gated path), then decode the BYTES
+    * back: [[graft.multimodal.Multimodal.mp4Frames]] runs the player's
+    * sample-location algorithm and every frame decodes through ImageIO.
+    * Emitted fields all come from the DECODED pixels — frame dims from
+    * the decoder, r/g/b from pixel (0,0), and `rgb_sum` as the exact
+    * integer sum of all three channels over EVERY pixel (a full-frame
+    * loop: one wrong pixel anywhere breaks the hash). PNG is lossless,
+    * so the oracle states the same values in closed form from doc_id —
+    * DuckDB certifies that frame mux → sample-table walk → real image
+    * decode is the identity on every pixel. Payload bytes never leave
+    * the executors. */
+  val videoFrames = Q(
+    "q134_video_frames",
+    (s, d) => {
+      import s.implicits._
+      graft.Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val nf = (id % 4 + 2).toInt
+          val w = (id % 24 + 8).toInt
+          val ht = (id % 16 + 8).toInt
+          val frames = (0 until nf).map { f =>
+            val rgb = ((((id * 7 + f * 29) % 256) << 16) |
+              (((id * 11 + f * 31) % 256) << 8) |
+              ((id * 13 + f * 37) % 256)).toInt
+            val img = new java.awt.image.BufferedImage(w, ht,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until ht; x <- 0 until w) img.setRGB(x, y, rgb)
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", buf)
+            buf.toByteArray
+          }
+          val payload = Multimodal.mp4BytesFrames(timescale = 600,
+            durationTicks = nf * 100, width = w, height = ht, frames,
+            samplesPerChunk = (id % 3 + 1).toInt)
+          Multimodal.mp4Frames(payload)
+            .getOrElse(sys.error(s"unlocatable synthesized frames for $id"))
+            .zipWithIndex.map { case (fb, f) =>
+              val img = javax.imageio.ImageIO
+                .read(new java.io.ByteArrayInputStream(fb))
+              if (img == null) sys.error(s"undecodable frame $f of video $id")
+              val p0 = img.getRGB(0, 0)
+              var sum = 0L
+              for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+                val p = img.getRGB(x, y)
+                sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              }
+              (id, f.toLong, img.getWidth, img.getHeight,
+                (p0 >> 16) & 0xff, (p0 >> 8) & 0xff, p0 & 0xff, sum)
+            }
+        }
+        .toDF("media_id", "frame_no", "f_w", "f_h", "r", "g", "b", "rgb_sum")
+        .orderBy(col("media_id"), col("frame_no"))
+    },
+    Some("""WITH v AS (
+             SELECT doc_id AS media_id,
+               CAST(doc_id % 4 + 2 AS BIGINT) AS nf,
+               CAST(doc_id % 24 + 8 AS INT) AS w,
+               CAST(doc_id % 16 + 8 AS INT) AS h
+             FROM documents WHERE doc_id % 3 = 2),
+           f AS (
+             SELECT media_id, w, h,
+               CAST(unnest(range(0, nf)) AS BIGINT) AS frame_no
+             FROM v)
+           SELECT media_id, frame_no, w AS f_w, h AS f_h,
+             CAST((media_id * 7 + frame_no * 29) % 256 AS INT) AS r,
+             CAST((media_id * 11 + frame_no * 31) % 256 AS INT) AS g,
+             CAST((media_id * 13 + frame_no * 37) % 256 AS INT) AS b,
+             (((media_id * 7 + frame_no * 29) % 256)
+              + ((media_id * 11 + frame_no * 31) % 256)
+              + ((media_id * 13 + frame_no * 37) % 256)) * w * h AS rgb_sum
+           FROM f ORDER BY media_id, frame_no""")
+  )
+
+  val all: Seq[Q] = Seq(mediaMeta, frameSample, audioMeta, videoMeta,
+    audioPcm, videoFrames)
 }

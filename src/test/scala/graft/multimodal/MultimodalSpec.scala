@@ -207,6 +207,111 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4Meta(good.take(24)).isEmpty)
   }
 
+  // -- real video frame decode (q134's surfaces) ----------------------
+
+  /** Deterministic PNG test frame: a horizontal two-band pattern (top
+    * half one color, bottom half another) so a decode that found the
+    * right bytes but the wrong layout cannot pass. */
+  private def pngFrame(w: Int, h: Int, top: Int, bottom: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (y * 2 < h) top else bottom)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("mp4BytesFrames → mp4Frames is the identity on coded frame bytes") {
+    val frames = (0 until 5).map(f => pngFrame(6, 4, 0x102030 * (f + 1), 0xfff - f))
+    // single chunk and multi-chunk (spc 2 → stsc carries a trailing-rest
+    // run: chunks of 2, 2, 1) must both locate every frame byte-exactly
+    for (spc <- Seq(Int.MaxValue, 2, 1, 3)) {
+      val payload = Multimodal.mp4BytesFrames(600, 500, 6, 4, frames,
+        samplesPerChunk = spc)
+      val back = Multimodal.mp4Frames(payload).get
+      assert(back.length == frames.length, s"spc=$spc")
+      back.zip(frames).foreach { case (b, f) =>
+        assert(java.util.Arrays.equals(b, f), s"spc=$spc")
+      }
+    }
+    // and the container is still a well-formed mp4Meta file: same brand/
+    // dims/stts frame count contract as the mdat-only writer
+    val m = Multimodal.mp4Meta(
+      Multimodal.mp4BytesFrames(600, 1200, 6, 4, frames, 2)).get
+    assert(m == Mp4Meta("isom", 600, 2000L, 1, 6, 4, 5L))
+  }
+
+  test("video frames decode to real pixels via the sample table + ImageIO") {
+    // two-band frames: decoded features must see BOTH bands (quadrant
+    // means differ top vs bottom), proving real pixel decode not byte
+    // hashing
+    val frames = Seq(pngFrame(8, 8, 0xff0000, 0x0000ff),
+      pngFrame(8, 8, 0xff0000, 0x0000ff))
+    val payload = Multimodal.mp4BytesFrames(600, 200, 8, 8, frames)
+    val feats = Multimodal.videoFrameFeatures(payload).get
+    assert(feats.length == 8)
+    // mean R = mean B = 0.5 (red top half, blue bottom half), mean G = 0
+    assert(math.abs(feats(0) - 0.5f) < 1e-3 && math.abs(feats(2) - 0.5f) < 1e-3)
+    assert(feats(1) == 0.0f)
+    // top quadrants pure red (gray 1/3·255), bottom pure blue — equal
+    // grays but the full-channel means above already separate the bands
+    assert(math.abs(feats(3) - feats(5)) < 1e-6)
+    // decodePixels dispatches video payloads to the real path...
+    assert(Multimodal.decodePixels("video", payload).sameElements(feats))
+    // true MJPEG (JPEG-coded samples, 'jpeg' 4CC): same walk, same
+    // ImageIO dispatch, lossy codec — means land near the band values
+    val jpegFrames = Seq.fill(2) {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, if (y < 8) 0xff0000 else 0x0000ff)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val mjpeg = Multimodal.mp4BytesFrames(600, 200, 16, 16, jpegFrames,
+      format = "jpeg")
+    val jf = Multimodal.videoFrameFeatures(mjpeg).get
+    assert(math.abs(jf(0) - 0.5f) < 0.1 && math.abs(jf(2) - 0.5f) < 0.1)
+    assert(jf(1) < 0.2) // green stays near zero through JPEG loss
+    // ...and non-container video bytes (the mediaTable's text payloads)
+    // still fall back to the stub rather than failing the batch
+    val text = "not a video".getBytes("UTF-8")
+    assert(Multimodal.decodePixels("video", text)
+      .sameElements(Multimodal.stubPixels(text)))
+  }
+
+  test("mp4FrameRanges rejects malformed sample tables instead of failing") {
+    val frames = (0 until 3).map(f => pngFrame(4, 4, f * 0x111111, 0xffffff))
+    val good = Multimodal.mp4BytesFrames(600, 300, 4, 4, frames, 2)
+    assert(Multimodal.mp4FrameRanges(good).isDefined)
+    assert(Multimodal.mp4FrameRanges(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.mp4FrameRanges("plain text".getBytes).isEmpty)
+    // the mdat-only writer has no sample table — nothing to locate
+    assert(Multimodal.mp4FrameRanges(
+      Multimodal.mp4Bytes(600, 300, 4, 4, 3, seed = 1L)).isEmpty)
+    // a chunk offset past the payload end must be rejected, not read
+    def patched(boxId: String, fieldOff: Int, value: Int): Array[Byte] = {
+      val p = good.clone()
+      // find the box by scanning for its tag (unique in this payload)
+      val idx = p.indices.find(i => i + 4 <= p.length - 4 &&
+        new String(p, i, 4, "US-ASCII") == boxId).get
+      java.nio.ByteBuffer.wrap(p).putInt(idx + fieldOff, value)
+      p
+    }
+    // stco entry 0 (tag+4 ver/flags+4 count → +12) overruns the file
+    assert(Multimodal.mp4FrameRanges(
+      patched("stco", 12, good.length * 2)).isEmpty)
+    // stsz sample 0 size (tag+4 ver/flags+4 uniform+4 count → +16)
+    // hostile-huge: range would overrun the payload
+    assert(Multimodal.mp4FrameRanges(patched("stsz", 16, 0x7fffffff)).isEmpty)
+    // stsc first run starting at chunk 2 breaks the walk's contract
+    assert(Multimodal.mp4FrameRanges(patched("stsc", 12, 2)).isEmpty)
+    // sample-count inflated past what the chunks cover
+    assert(Multimodal.mp4FrameRanges(patched("stsz", 12, 99)).isEmpty)
+  }
+
   test("resizeMeta preserves aspect ratio and never upscales") {
     val r = Multimodal.resizeMeta(Multimodal.mediaTable(spark, sfDir), 320, 240)
       .select($"width", $"height", $"out_w", $"out_h")
