@@ -90,6 +90,42 @@ phase_recert() {
   done
 }
 
+# Routine comparator pairs vs r19 (VERDICT r19 item 6) — warranted this
+# round because the vec_id-sorted cell writes (VERDICT r19 item 4)
+# touched IvfIndex/IvfPqIndex build paths, which these benches measure.
+phase_index() {
+  for t in a b; do
+    SPARK_GRAFT_SF_DIR=$SF \
+      sbt -batch "runMain graft.IndexBench" > /tmp/r20_index_$t.log 2>&1
+    echo "index_$t rc=$?"
+    extract /tmp/r20_index_$t.log ivf_maintenance INDEXBENCH_r20_$t.json
+  done
+}
+
+phase_scale() {
+  for t in a b; do
+    SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=$SF \
+      sbt -batch "runMain graft.ScaleBench" > /tmp/r20_scale_$t.log 2>&1
+    echo "scale_$t rc=$?"
+    extract /tmp/r20_scale_$t.log scale_bench SCALEBENCH_r20_$t.json
+  done
+}
+
+# Cross-boot drift probe (SURVEY §8.17): the SCALEBENCH_r20 pair read
+# q32/q106 cpu 1.9-2.1x over the r19 pair with ZERO source changes to
+# those queries; this re-times the flagged training loops via graft.Bench
+# on the CURRENT boot so the flags can be adjudicated same-code against
+# the banked BENCH_DETAIL_r20 pair (emitted on the previous boot).
+phase_bootprobe() {
+  for t in a b; do
+    SPARK_GRAFT_BENCH_ONLY=q32_item_cf,q106_bpr_topn_metric,q88_lightgcn_training \
+      SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=$SF \
+      SPARK_GRAFT_BENCH_DETAIL=/root/repo/BOOTPROBE_r20_$t.json \
+      sbt -batch "runMain graft.Bench" > /tmp/r20_bootprobe_$t.log 2>&1
+    echo "bootprobe_$t rc=$?"
+  done
+}
+
 phases="${@:-dpp20 dpp20k detail}"
 for p in $phases; do
   echo "=== phase $p $(date +%H:%M:%S) ==="

@@ -473,8 +473,13 @@ object Multimodal {
             val uniform = u32(pos + 12)
             val n = u32(pos + 16)
             if (n > Int.MaxValue) return false
-            if (uniform != 0L) sizes = Some(Array.fill(n.toInt)(uniform))
-            else {
+            if (uniform != 0L) {
+              // uniform samples are >= 1 byte each, so a count beyond the
+              // payload length cannot be real — reject BEFORE allocating
+              // (a hostile 2^31 count must not OOM the batch)
+              if (n > payload.length) return false
+              sizes = Some(Array.fill(n.toInt)(uniform))
+            } else {
               if (pos + 20 + 4L * n > end) return false
               sizes = Some(Array.tabulate(n.toInt)(i => u32(pos + 20 + i * 4)))
             }

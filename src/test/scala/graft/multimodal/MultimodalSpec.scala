@@ -310,6 +310,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4FrameRanges(patched("stsc", 12, 2)).isEmpty)
     // sample-count inflated past what the chunks cover
     assert(Multimodal.mp4FrameRanges(patched("stsz", 12, 99)).isEmpty)
+    // hostile UNIFORM-size stsz with a 2^31-class count must be
+    // rejected before allocation (no OOM), not after
+    val uniformHuge = patched("stsz", 8, 1) // uniform sample_size = 1
+    java.nio.ByteBuffer.wrap(uniformHuge)
+      .putInt(uniformHuge.indices.find(i => i + 4 <= uniformHuge.length &&
+        new String(uniformHuge, i, 4, "US-ASCII") == "stsz").get + 12,
+        0x7fffffff) // sample_count
+    assert(Multimodal.mp4FrameRanges(uniformHuge).isEmpty)
   }
 
   test("resizeMeta preserves aspect ratio and never upscales") {
