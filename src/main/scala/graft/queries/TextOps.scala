@@ -249,6 +249,25 @@ object TextOps {
     call_function("minhash_sig", text)
   }
 
+  // -- shared faces for the streaming near-dup operator ---------------
+  // (graft.stream.DedupStream MUST band and sign exactly as the batch
+  // q28/q131 pipeline does, or its spec's equality contract against the
+  // oracle-gated batch twin is meaningless — so the stream reuses THESE
+  // functions rather than restating the formulas.)
+  private[graft] def lshSigLen: Int = K
+  private[graft] def lshBucketCapShared: Int = LshBucketCap
+  private[graft] def sigColShared(s: SparkSession, text: Column): Column =
+    minhashSigCol(s, text)
+  /** [[bandedOf]] keeping the signature column alongside each banded
+    * row — the stream's per-bucket state stores it for the pair's
+    * est_jaccard. */
+  private[graft] def bandedKeepSig(m: DataFrame): DataFrame =
+    m.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map { b =>
+        concat_ws("_", (0 until RowsPerBand).map(j =>
+          element_at(col("sig"), b * RowsPerBand + j + 1)): _*)
+      }: _*)).as(Seq("band", "bucket")))
+
   /** One signature DataFrame memoized per (session, dataset): the
     * MinHash table is the shared, expensive first stage of FOUR catalog
     * queries (q28/q29/q72/q131, plus q78 through q72), and relying on
@@ -399,11 +418,7 @@ object TextOps {
     * banding cannot drift between the enumerators and the instrument
     * that prices them). */
   private def bandedOf(m: DataFrame): DataFrame =
-    m.select(col("doc_id"),
-      posexplode(array((0 until Bands).map { b =>
-        concat_ws("_", (0 until RowsPerBand).map(j =>
-          element_at(col("sig"), b * RowsPerBand + j + 1)): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    bandedKeepSig(m).select(col("doc_id"), col("band"), col("bucket"))
 
   /** LSH candidate-work profile — the noise-free WORK instrument for
     * the dedup stage (SURVEY §8.9). The r15 scale bench measured q131's
