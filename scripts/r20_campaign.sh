@@ -111,6 +111,25 @@ phase_scale() {
   done
 }
 
+# Throughput footnote for the streaming near-dup operator (SURVEY's
+# LLM-pipeline table row): fixture corpus replayed in 10 micro-batches,
+# x1 and x10 tiles (tiled copies get a marker token so signatures
+# genuinely differ).
+phase_dedup() {
+  for t in a b; do
+    SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SF_DIR=$SF \
+      sbt -batch "runMain graft.DedupStreamBench" > /tmp/r20_dedup_$t.log 2>&1
+    echo "dedup_$t rc=$?"
+    extract /tmp/r20_dedup_$t.log dedup_stream DEDUPSTREAMBENCH_r20_$t.json
+  done
+  for t in a b; do
+    SPARK_GRAFT_DEDUP_TILES=10 SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SF_DIR=$SF \
+      sbt -batch "runMain graft.DedupStreamBench" > /tmp/r20_dedup_x10_$t.log 2>&1
+    echo "dedup_x10_$t rc=$?"
+    extract /tmp/r20_dedup_x10_$t.log dedup_stream DEDUPSTREAMBENCH_r20_x10_$t.json
+  done
+}
+
 # Cross-boot drift probe (SURVEY §8.17): the SCALEBENCH_r20 pair read
 # q32/q106 cpu 1.9-2.1x over the r19 pair with ZERO source changes to
 # those queries; this re-times the flagged training loops via graft.Bench
