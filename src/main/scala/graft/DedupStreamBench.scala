@@ -40,6 +40,10 @@ object DedupStreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE for cached plans: lets coalescePartitions size cached
+      // aggregation output by bytes instead of pinning it at
+      // shuffle.partitions (r21 optimization; see OPTIMIZATION_r21.md)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -54,11 +58,21 @@ object DedupStreamBench {
         else base.map { case (id, tx) => (id + t * maxId, s"$tx tile$t") }
       }.toArray.sortBy(_._1)
 
+    // Horizon arm (VERDICT r20 item 1): SPARK_GRAFT_DEDUP_HORIZON_SEC
+    // replays the same corpus with event time advancing one second per
+    // doc and the idle horizon set, so buckets idle longer than the
+    // horizon EVICT while the replay runs — the artifact then shows
+    // state rows O(active horizon), not O(docs ever seen), directly in
+    // `state_rows_max/final` vs the horizonless run's.
+    val horizonSec = sys.env.get("SPARK_GRAFT_DEDUP_HORIZON_SEC").map(_.toLong)
     implicit val sc = spark.sqlContext
-    val in = MemoryStream[(Long, String)]
+    val in = MemoryStream[(Long, String, Long)]
     val pairCount = new java.util.concurrent.atomic.AtomicLong(0L)
     val batchMs = mutable.ListBuffer.empty[Long]
-    val q = DedupStream.nearDupPairs(in.toDF().toDF("doc_id", "text"))
+    val stateRows = mutable.ListBuffer.empty[Long]
+    val q = DedupStream.nearDupPairs(
+        in.toDF().toDF("doc_id", "text", "ts"),
+        idleHorizon = horizonSec.map(java.time.Duration.ofSeconds(_)))
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupPair], _: Long) =>
         pairCount.addAndGet(b.dropDuplicates("a_id", "b_id").count()); ()
@@ -67,11 +81,19 @@ object DedupStreamBench {
     val t0 = System.nanoTime()
     try {
       val per = math.max(1, math.ceil(docs.length.toDouble / batches).toInt)
-      docs.grouped(per).foreach { b =>
-        val s0 = System.nanoTime()
-        in.addData(b.toIndexedSeq); q.processAllAvailable()
-        batchMs += (System.nanoTime() - s0) / 1000000L
-      }
+      // event time: doc index in replay order, one second per doc (ts
+      // rides along but is inert — lit-zero horizonless semantics —
+      // unless the horizon arm is on)
+      docs.zipWithIndex.map { case ((id, tx), i) => (id, tx, i * 1000L) }
+        .grouped(per).foreach { b =>
+          val s0 = System.nanoTime()
+          in.addData(b.toIndexedSeq); q.processAllAvailable()
+          batchMs += (System.nanoTime() - s0) / 1000000L
+          Option(q.lastProgress).foreach { p =>
+            if (p.stateOperators.nonEmpty)
+              stateRows += p.stateOperators(0).numRowsTotal
+          }
+        }
     } finally q.stop()
     val wallSec = (System.nanoTime() - t0) / 1e9
     val sorted = batchMs.toSeq.sorted
@@ -81,7 +103,10 @@ object DedupStreamBench {
         s""""docs":${docs.length},"batches":${batchMs.length},""" +
         s""""pairs":${pairCount.get()},"wall_sec":${math.rint(wallSec * 1000) / 1000},""" +
         s""""docs_per_sec":${math.rint(docs.length / wallSec)},""" +
-        s""""batch_ms_p50":$p50,"batch_ms_max":${sorted.lastOption.getOrElse(0L)}}"""
+        s""""batch_ms_p50":$p50,"batch_ms_max":${sorted.lastOption.getOrElse(0L)},""" +
+        s""""horizon_sec":${horizonSec.getOrElse(0L)},""" +
+        s""""state_rows_max":${if (stateRows.isEmpty) 0L else stateRows.max},""" +
+        s""""state_rows_final":${stateRows.lastOption.getOrElse(0L)}}"""
     // stdout + stderr, the Bench convention
     println(line)
     System.err.println(line)

@@ -14,6 +14,10 @@ object Explain {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      // AQE for cached plans: lets coalescePartitions size cached
+      // aggregation output by bytes instead of pinning it at
+      // shuffle.partitions (r21 optimization; see OPTIMIZATION_r21.md)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

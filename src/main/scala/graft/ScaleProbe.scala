@@ -48,6 +48,10 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE for cached plans: lets coalescePartitions size cached
+      // aggregation output by bytes instead of pinning it at
+      // shuffle.partitions (r21 optimization; see OPTIMIZATION_r21.md)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

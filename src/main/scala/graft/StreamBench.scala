@@ -160,6 +160,10 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE for cached plans: lets coalescePartitions size cached
+      // aggregation output by bytes instead of pinning it at
+      // shuffle.partitions (r21 optimization; see OPTIMIZATION_r21.md)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -72,7 +72,9 @@ object Recommender {
       GraftFunctions.register(s)
       val r = Ratings.view(s, d)
       val itemAvg = r.groupBy(col("item_id")).agg(avg(col("rating")).as("pred"))
-      r.join(itemAvg, Seq("item_id"))
+      // item-dimension-sized predictor table: broadcast so the ratings
+      // fact is not shuffled for the join
+      r.join(broadcast(itemAvg), Seq("item_id"))
         .agg(round(call_function("rmse_agg", col("pred"), col("rating")), 6)
           .as("rmse"))
     },
@@ -157,11 +159,16 @@ object Recommender {
         .join(broadcast(di), Seq("item_id"))
         .select(col("user_id"), col("item_id"),
           (lit(1.0) / sqrt(col("du") * col("di"))).as("w"))
+        // few fat partitions for the two broadcast-join propagation
+        // aggregations (no exchange left for AQE to coalesce)
+        .coalesce(math.max(2, s.sparkContext.defaultParallelism / 4))
         .cache()
-      val eu = edges.join(e0, Seq("item_id"))
+      // e0/eu broadcast: item-/user-dimension-sized embedding tables —
+      // the edge fact stays unshuffled through both propagation joins
+      val eu = edges.join(broadcast(e0), Seq("item_id"))
         .groupBy(col("user_id"))
         .agg(sum(col("f1") * col("w")).as("f1"), sum(col("f2") * col("w")).as("f2"))
-      val e1 = edges.join(eu, Seq("user_id"))
+      val e1 = edges.join(broadcast(eu), Seq("user_id"))
         .groupBy(col("item_id"))
         .agg(round(sum(col("f1") * col("w")), 6).as("f1"),
              round(sum(col("f2") * col("w")), 6).as("f2"))
@@ -250,7 +257,8 @@ object Recommender {
         .agg(countCols.head, countCols.tail: _*)
         .select(col("item_id"),
           array_position(scores, array_max(scores)).cast("long").as("pred_class"))
-      r.join(pred, Seq("item_id"))
+      // item-dimension-sized prediction table: broadcast (as q33)
+      r.join(broadcast(pred), Seq("item_id"))
         .agg(count(lit(1)).as("n"),
              sum(when(col("rating") === col("pred_class"), 1L).otherwise(0L))
                .as("n_correct"))
@@ -391,22 +399,26 @@ object Recommender {
     (s, d) => {
       val r = Ratings.view(s, d).cache()
       val im = r.groupBy(col("item_id")).agg(avg(col("rating")).as("im"))
-      val wPos = Window.partitionBy(col("user_id"))
-        .orderBy(col("rating").desc, col("item_id"))
-      val wNeg = Window.partitionBy(col("user_id"))
-        .orderBy(col("rating").asc, col("item_id").desc)
-      val pos = r.withColumn("rn", row_number().over(wPos)).where(col("rn") === 1)
-        .select(col("user_id"), col("item_id").as("pos_item"),
-          col("rating").as("pos_r"))
-      val neg = r.withColumn("rn", row_number().over(wNeg)).where(col("rn") === 1)
-        .select(col("user_id"), col("item_id").as("neg_item"),
-          col("rating").as("neg_r"))
-      val t = pos.join(neg, Seq("user_id"))
-        .where(col("pos_r") > col("neg_r"))
-        .join(im.select(col("item_id").as("pos_item"), col("im").as("s_pos")),
-          Seq("pos_item"))
-        .join(im.select(col("item_id").as("neg_item"), col("im").as("s_neg")),
-          Seq("neg_item"))
+      // Head-tail extremes in ONE partially-aggregated groupBy instead
+      // of two window passes (each an exchange + full sort of the
+      // ratings fact) + a pos⋈neg self-join: (rating desc, item_id asc)
+      // top-1 == argmax of (rating, -item_id), (rating asc, item_id
+      // desc) top-1 == argmin of the same key, and the key is unique
+      // per user row so max_by/min_by are deterministic. Comparisons
+      // only — the selected rows are bit-identical to the window
+      // form's. The item-mean joins broadcast (item-dimension-sized).
+      val t = r.groupBy(col("user_id")).agg(
+          max_by(struct(col("item_id"), col("rating")),
+            struct(col("rating"), -col("item_id"))).as("p"),
+          min_by(struct(col("item_id"), col("rating")),
+            struct(col("rating"), -col("item_id"))).as("n"))
+        .where(col("p.rating") > col("n.rating"))
+        .select(col("user_id"), col("p.item_id").as("pos_item"),
+          col("n.item_id").as("neg_item"))
+        .join(broadcast(im.select(col("item_id").as("pos_item"),
+          col("im").as("s_pos"))), Seq("pos_item"))
+        .join(broadcast(im.select(col("item_id").as("neg_item"),
+          col("im").as("s_neg"))), Seq("neg_item"))
         .withColumn("dd", col("s_pos") - col("s_neg"))
         .withColumn("loss", round(log(lit(1.0) + exp(-col("dd"))), 6))
       t.agg(count(lit(1)).as("n_triples"),

@@ -262,7 +262,10 @@ object TextOps {
     * row — the stream's per-bucket state stores it for the pair's
     * est_jaccard. */
   private[graft] def bandedKeepSig(m: DataFrame): DataFrame =
-    m.select(col("doc_id"), col("sig"),
+    // col("*") so a caller-side event-time column (the stream's idle
+    // horizon) rides through the explode untouched; every input here
+    // carries (doc_id, sig [, ts]) and band/bucket are appended
+    m.select(col("*"),
       posexplode(array((0 until Bands).map { b =>
         concat_ws("_", (0 until RowsPerBand).map(j =>
           element_at(col("sig"), b * RowsPerBand + j + 1)): _*)

@@ -75,6 +75,26 @@ object GradientMF {
       val ck = df.localCheckpoint(true)
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
+
+    /** [[checkpointLeaf]] with the partition count coalesced to
+      * ~defaultParallelism/4 first. The broadcast-join epoch pipeline
+      * has NO exchange, so the per-epoch error relation would inherit
+      * the fact table's full partition count — and its aggregation
+      * consumers then run one near-useless partial-agg hash map per
+      * partition (each partition already holds ~every user/item key, so
+      * partial aggregation reduces almost nothing while multiplying
+      * exchange rows by the partition count; measured 10× consumer-cpu
+      * on q86 at 32 vs 6 partitions). The old sort-merge plans got few,
+      * large partitions for free from AQE's post-shuffle coalescing
+      * (guide §2.2's 100 MB–1 GB rule); with the exchange gone this
+      * coalesce is where that sizing decision now lives. Derived from
+      * defaultParallelism, not a constant, so cluster-sized sessions
+      * keep proportional parallelism. */
+    def checkpointLeafCoalesced: DataFrame = {
+      val parts = math.max(2,
+        df.sparkSession.sparkContext.defaultParallelism / 4)
+      df.coalesce(parts).checkpointLeaf
+    }
   }
 
   private def h32(c: Column): Column =
@@ -105,6 +125,15 @@ object GradientMF {
   private def axpyUpdate(v: Column, g: Column, lr: Double, reg: Double): Column =
     zip_with(v, g, (x, gx) => x - lit(lr) * (gx + lit(reg) * x))
 
+  /** Scale-derived partition count for cached fact relations consumed by
+    * the broadcast-join epoch pipeline (same sizing rationale as
+    * [[CheckpointLeaf.checkpointLeafCoalesced]]: with no exchange left in
+    * the pipeline, AQE never coalesces, so the cache's own partition
+    * count decides how many near-useless per-partition partial-agg maps
+    * every downstream gradient aggregation builds). */
+  private def factParts(df: DataFrame): Int =
+    math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4)
+
   /** Train `epochs` full-batch GD epochs of rank-`rank` MF on
     * `ratings` (user_id, item_id, rating); returns the per-epoch RMSE
     * trajectory `(epoch, rmse)` — epochs+1 rows, epoch 0 = the loss at
@@ -115,19 +144,27 @@ object GradientMF {
     val res = ratings.crossJoin(broadcast(g))
       .select(col("user_id"), col("item_id"),
         (col("rating") - col("mu")).as("res"))
-      .cache()
+    val resC = res.coalesce(factParts(res)).cache()
 
     def init(kind: String, idCol: String): DataFrame =
-      res.select(col(idCol)).distinct()
+      resC.select(col(idCol)).distinct()
         .select(col(idCol), initVec(kind, col(idCol), rank).as("val"))
 
     /** Per-rating error rows, carrying both factor vectors so the two
       * gradient aggregations read this one checkpointed relation
-      * without any further join. */
+      * without any further join. Factor sides are broadcast: they are
+      * id-dimension-sized (distinct users/items × rank doubles), while
+      * `res` is the ratings FACT — the unbounded side — which these
+      * hints keep unshuffled through every epoch (each checkpointLeaf
+      * carries defaultSizeInBytes stats, so without the hint the
+      * planner sort-merge-joins and re-shuffles the fact twice per
+      * epoch). */
     def predictions(u: DataFrame, v: DataFrame): DataFrame =
-      res
-        .join(u.select(col("user_id"), col("val").as("uv")), Seq("user_id"))
-        .join(v.select(col("item_id"), col("val").as("vv")), Seq("item_id"))
+      resC
+        .join(broadcast(u.select(col("user_id"), col("val").as("uv"))),
+          Seq("user_id"))
+        .join(broadcast(v.select(col("item_id"), col("val").as("vv"))),
+          Seq("item_id"))
         .select(col("user_id"), col("item_id"),
           (dot(col("uv"), col("vv")) - col("res")).as("err"),
           col("uv"), col("vv"))
@@ -141,17 +178,17 @@ object GradientMF {
     val losses = Seq.newBuilder[DataFrame]
     for (k <- 0 until epochs) {
       // p feeds the loss and BOTH gradients — checkpoint once per epoch
-      val p = predictions(u, v).checkpointLeaf
+      val p = predictions(u, v).checkpointLeafCoalesced
       losses += epochLoss(k, p)
       val gu = p.groupBy(col("user_id"))
         .agg(vecAgg(rank)(i => avg(col("err") * col("vv")(i))).as("grad"))
       val gv = p.groupBy(col("item_id"))
         .agg(vecAgg(rank)(i => avg(col("err") * col("uv")(i))).as("grad"))
-      u = u.join(gu, Seq("user_id"))
+      u = u.join(broadcast(gu), Seq("user_id"))
         .select(col("user_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .checkpointLeaf
-      v = v.join(gv, Seq("item_id"))
+      v = v.join(broadcast(gv), Seq("item_id"))
         .select(col("item_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .checkpointLeaf
@@ -245,23 +282,24 @@ object GradientMF {
   private def bprFit(ratings: DataFrame, rank: Int, lr: Double,
       reg: Double, epochs: Int, onEpoch: (Int, DataFrame) => Unit)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val wPos = Window.partitionBy(col("user_id"))
-      .orderBy(col("rating").desc, col("item_id"))
-    val wNeg = Window.partitionBy(col("user_id"))
-      .orderBy(col("rating").asc, col("item_id").desc)
-    val pos = ratings.withColumn("rn", row_number().over(wPos))
-      .where(col("rn") === 1)
-      .select(col("user_id"), col("item_id").as("pos_item"),
-        col("rating").as("pos_r"))
-    val neg = ratings.withColumn("rn", row_number().over(wNeg))
-      .where(col("rn") === 1)
-      .select(col("user_id"), col("item_id").as("neg_item"),
-        col("rating").as("neg_r"))
+    // Head-tail triple per user, as ONE partially-aggregated groupBy
+    // instead of the former two window passes (each an exchange + full
+    // sort of the ratings fact) + a pos⋈neg self-join. The extremes are
+    // the windows' rn=1 rows exactly: (rating desc, item_id asc) top-1
+    // == argmax of (rating, -item_id); (rating asc, item_id desc) top-1
+    // == argmin of the same key — and (rating, -item_id) is unique per
+    // user row, so max_by/min_by are deterministic. Comparisons only,
+    // no float arithmetic: the selected rows are bit-identical to the
+    // window form's.
     bprFitTriples(
-      pos.join(neg, Seq("user_id"))
-        .where(col("pos_r") > col("neg_r"))
-        .select(col("user_id"), col("pos_item"), col("neg_item")),
+      ratings.groupBy(col("user_id")).agg(
+          max_by(struct(col("item_id"), col("rating")),
+            struct(col("rating"), -col("item_id"))).as("p"),
+          min_by(struct(col("item_id"), col("rating")),
+            struct(col("rating"), -col("item_id"))).as("n"))
+        .where(col("p.rating") > col("n.rating"))
+        .select(col("user_id"), col("p.item_id").as("pos_item"),
+          col("n.item_id").as("neg_item")),
       rank, lr, reg, epochs, onEpoch)
   }
 
@@ -288,7 +326,7 @@ object GradientMF {
       reg: Double, epochs: Int, onEpoch: (Int, DataFrame) => Unit,
       itemBias: Boolean = false)
       : (DataFrame, DataFrame) = {
-    val tr = triples.cache()
+    val tr = triples.coalesce(factParts(triples)).cache()
     val width = if (itemBias) rank + 1 else rank
 
     def init(kind: String, ids: DataFrame, idCol: String): DataFrame = {
@@ -307,14 +345,17 @@ object GradientMF {
       else concat(slice(v, 1, rank), array(lit(1.0)))
 
     /** Per-pair score rows carrying all three factor vectors, so loss
-      * and both gradients read one checkpointed relation. */
+      * and both gradients read one checkpointed relation. Factor sides
+      * broadcast — id-dimension-sized vs the triple relation (see
+      * [[trainTrajectory]]'s predictions note). */
     def scores(u: DataFrame, v: DataFrame): DataFrame =
       tr
-        .join(u.select(col("user_id"), col("val").as("uval")), Seq("user_id"))
-        .join(v.select(col("item_id").as("pos_item"),
-          col("val").as("pval")), Seq("pos_item"))
-        .join(v.select(col("item_id").as("neg_item"),
-          col("val").as("nval")), Seq("neg_item"))
+        .join(broadcast(u.select(col("user_id"), col("val").as("uval"))),
+          Seq("user_id"))
+        .join(broadcast(v.select(col("item_id").as("pos_item"),
+          col("val").as("pval"))), Seq("pos_item"))
+        .join(broadcast(v.select(col("item_id").as("neg_item"),
+          col("val").as("nval"))), Seq("neg_item"))
         .select(col("user_id"), col("pos_item"), col("neg_item"),
           dot(col("uval"), zip_with(col("pval"), col("nval"),
             (p, n) => p - n)).as("d"),
@@ -327,7 +368,7 @@ object GradientMF {
         .unionAll(tr.select(col("neg_item").as("item_id"))).distinct(),
       "item_id").checkpointLeaf
     for (k <- 0 until epochs) {
-      val d = scores(u, v).checkpointLeaf
+      val d = scores(u, v).checkpointLeafCoalesced
       onEpoch(k, d)
       val s = d.withColumn("comp", lit(1.0) / (lit(1.0) + exp(col("d"))))
       // the head-tail derivation yields one (pos, neg) pair per user,
@@ -345,11 +386,11 @@ object GradientMF {
           transform(col("uval"), x => col("comp") * x).as("c")))
         .groupBy(col("item_id"))
         .agg(vecAgg(width)(i => avg(col("c")(i))).as("grad"))
-      u = u.join(gu, Seq("user_id"))
+      u = u.join(broadcast(gu), Seq("user_id"))
         .select(col("user_id"),
           pinUser(axpyUpdate(col("val"), col("grad"), lr, reg)).as("val"))
         .checkpointLeaf
-      v = v.join(gv, Seq("item_id"))
+      v = v.join(broadcast(gv), Seq("item_id"))
         .select(col("item_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .checkpointLeaf
@@ -402,8 +443,10 @@ object GradientMF {
     test.crossJoin(broadcast(g))
       .select(col("user_id"), col("item_id"),
         (col("rating") - col("mu")).as("res"))
-      .join(up.select(col("user_id"), col("val").as("uv")), Seq("user_id"))
-      .join(vp.select(col("item_id"), col("val").as("vv")), Seq("item_id"))
+      .join(broadcast(up.select(col("user_id"), col("val").as("uv"))),
+        Seq("user_id"))
+      .join(broadcast(vp.select(col("item_id"), col("val").as("vv"))),
+        Seq("item_id"))
       .select(col("res"), (dot(col("uv"), col("vv")) - col("res")).as("err"))
       .agg(count(lit(1)).as("n_test"),
         round(sqrt(avg(col("res") * col("res"))), 6).as("baseline_rmse"),
@@ -423,13 +466,17 @@ object GradientMF {
       reg: Double, epochs: Int, onEpoch: (Int, DataFrame) => Unit)
       : (DataFrame, DataFrame, DataFrame) = {
     val g = ratings.agg(avg(col("rating")).as("mu"))
-    val res = ratings.crossJoin(broadcast(g))
+    val res0 = ratings.crossJoin(broadcast(g))
       .select(col("user_id"), col("item_id"),
         (col("rating") - col("mu")).as("res"))
-      .cache()
+    val res = res0.coalesce(factParts(res0)).cache()
     val du = res.groupBy(col("user_id")).agg(count(lit(1)).as("du"))
     val di = res.groupBy(col("item_id")).agg(count(lit(1)).as("di"))
-    val ed = res.join(du, Seq("user_id")).join(di, Seq("item_id"))
+    // du/di broadcast (id-dimension-sized degree tables, as q36's) so the
+    // edge fact is derived without shuffling res; ed keeps res's coalesced
+    // partitioning through the cache.
+    val ed = res.join(broadcast(du), Seq("user_id"))
+      .join(broadcast(di), Seq("item_id"))
       .select(col("user_id"), col("item_id"),
         (lit(1.0) / sqrt(col("du") * col("di"))).as("w"))
       .cache()
@@ -440,22 +487,27 @@ object GradientMF {
 
     /** (base + Σ_edge w·other)/2 — the forward half-layer; with a
       * gradient table as `other` it is equally the backward pass. One
-      * edge join + one per-element weighted-sum agg, rows = edges. */
+      * edge join + one per-element weighted-sum agg, rows = edges. The
+      * factor side broadcasts (id-dimension-sized); the EDGE fact is
+      * never shuffled by the join — only its per-id partial aggregates
+      * cross the exchange. */
     def mix(base: DataFrame, other: DataFrame, baseId: String,
             otherId: String): DataFrame = {
-      val agg = ed.join(
-          other.select(col(otherId), col("val").as("ov")), Seq(otherId))
+      val agg = ed.join(broadcast(
+          other.select(col(otherId), col("val").as("ov"))), Seq(otherId))
         .groupBy(col(baseId))
         .agg(vecAgg(rank)(i => sum(col("w") * col("ov")(i))).as("s"))
-      base.join(agg, Seq(baseId))
+      base.join(broadcast(agg), Seq(baseId))
         .select(col(baseId),
           zip_with(col("val"), col("s"), (a, b) => (a + b) / 2).as("val"))
     }
 
     def predictions(up: DataFrame, vp: DataFrame): DataFrame =
       res
-        .join(up.select(col("user_id"), col("val").as("uv")), Seq("user_id"))
-        .join(vp.select(col("item_id"), col("val").as("vv")), Seq("item_id"))
+        .join(broadcast(up.select(col("user_id"), col("val").as("uv"))),
+          Seq("user_id"))
+        .join(broadcast(vp.select(col("item_id"), col("val").as("vv"))),
+          Seq("item_id"))
         .select(col("user_id"), col("item_id"),
           (dot(col("uv"), col("vv")) - col("res")).as("err"),
           col("uv"), col("vv"))
@@ -470,7 +522,7 @@ object GradientMF {
       // constant-size because u/v are checkpointed leaves
       val up = mix(u, v, "user_id", "item_id")
       val vp = mix(v, u, "item_id", "user_id")
-      val p = predictions(up, vp).checkpointLeaf
+      val p = predictions(up, vp).checkpointLeafCoalesced
       onEpoch(k, p)
       val gup = p.groupBy(col("user_id"))
         .agg(vecAgg(rank)(i => avg(col("err") * col("vv")(i))).as("val"))
@@ -480,12 +532,12 @@ object GradientMF {
         .cache()
       val gu = mix(gup, gvp, "user_id", "item_id")
       val gv = mix(gvp, gup, "item_id", "user_id")
-      u = u.join(gu.select(col("user_id"), col("val").as("grad")),
+      u = u.join(broadcast(gu.select(col("user_id"), col("val").as("grad"))),
           Seq("user_id"))
         .select(col("user_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))
         .checkpointLeaf
-      v = v.join(gv.select(col("item_id"), col("val").as("grad")),
+      v = v.join(broadcast(gv.select(col("item_id"), col("val").as("grad"))),
           Seq("item_id"))
         .select(col("item_id"),
           axpyUpdate(col("val"), col("grad"), lr, reg).as("val"))

@@ -21,10 +21,14 @@ object GraphPropagation {
     * @param edges (user_id, item_id, w) with w = 1/√(d_u·d_i)
     * @param itemEmb (item_id, pos, v) exploded embedding */
   private def layer(edges: DataFrame, itemEmb: DataFrame): DataFrame = {
-    val userEmb = edges.join(itemEmb, Seq("item_id"))
+    // Embedding sides broadcast (id-dimension-sized: |ids|·dim rows, the
+    // same class as the du/di degree tables below) so the EDGE fact is
+    // never re-shuffled by either half-layer join — only its per-id
+    // partial aggregates cross each exchange.
+    val userEmb = edges.join(broadcast(itemEmb), Seq("item_id"))
       .groupBy(col("user_id"), col("pos"))
       .agg(sum(col("v") * col("w")).as("v"))
-    edges.join(userEmb, Seq("user_id"))
+    edges.join(broadcast(userEmb), Seq("user_id"))
       .groupBy(col("item_id"), col("pos"))
       .agg(sum(col("v") * col("w")).as("v"))
   }
@@ -35,10 +39,17 @@ object GraphPropagation {
   def propagate(ratings: DataFrame, itemEmb0: DataFrame, layers: Int): DataFrame = {
     val du = ratings.groupBy(col("user_id")).agg(count(lit(1)).as("du"))
     val di = ratings.groupBy(col("item_id")).agg(count(lit(1)).as("di"))
+    // Coalesced to ~defaultParallelism/4 before caching: the broadcast
+    // half-layer joins leave no exchange for AQE to coalesce, so the
+    // cache's partition count decides how many near-useless partial-agg
+    // maps each layer aggregation builds (every partition holds ~all
+    // user/item keys — few fat partitions beat many thin ones here).
     val edges = ratings.join(broadcast(du), Seq("user_id"))
       .join(broadcast(di), Seq("item_id"))
       .select(col("user_id"), col("item_id"),
         (lit(1.0) / sqrt(col("du") * col("di"))).as("w"))
+      .coalesce(math.max(2,
+        ratings.sparkSession.sparkContext.defaultParallelism / 4))
       .cache()
     // cache each layer's |items|·dim-row output: layer k's plan embeds
     // layers 0..k-1 AND each layer is a union branch, so without caching

@@ -136,6 +136,86 @@ class DedupStreamSpec extends SparkSpec {
     assert(raw.toList == List((0L, 0), (1L, 4)))
   }
 
+  // --- idle-horizon eviction (the crawl-ingest configuration) ---------
+
+  /** Drive docs with explicit event times through the horizon operator;
+    * returns every emitted (a, b) pair in arrival order. Each step is
+    * one micro-batch of (doc_id, text, tsMillis) rows. */
+  private def horizonPairs(horizonMs: Long, cap: Int,
+      steps: Seq[Seq[(Long, String, Long)]]): List[(Long, Long)] = {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val out = mutable.ListBuffer.empty[(Long, Long)]
+    val q = DedupStream.nearDupPairs(
+        in.toDF().toDF("doc_id", "text", "ts"), cap,
+        idleHorizon = Some(java.time.Duration.ofMillis(horizonMs)))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupPair], _: Long) =>
+        val rows = b.dropDuplicates("a_id", "b_id").collect()
+          .map(p => (p.a_id, p.b_id)).sorted
+        out.synchronized { out ++= rows }; ()
+      }
+      .start()
+    try steps.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+    finally q.stop()
+    out.toList
+  }
+
+  test("idle horizon: an evicted bucket emits no pair against aged-out " +
+      "members and re-admits from empty") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // The watermark for batch N is batch N-1's max event time, and a
+    // bucket that receives data in the very batch its timer expires is
+    // processed as live — so eviction is made observable the way a real
+    // stream does it: unrelated traffic advances the watermark, then a
+    // data-less batch for doc 1's buckets fires their timers.
+    val pairs = horizonPairs(horizonMs = 1000L, cap = TextOps.lshBucketCapShared,
+      steps = Seq(
+        // ts starts above 0: the initial watermark is 0 and the 0-delay
+        // late filter drops rows at-or-below it
+        Seq((1L, text, 10000L)),                   // member at t=10s
+        Seq((100L, "totally different filler words one", 15000L)),
+        Seq((101L, "other unrelated filler words two", 15500L)),
+        // ^ watermark now 15000 ≥ doc-1's timer (t=11000): bucket evicted.
+        // Doc 9 re-admits the SAME buckets from empty, so the (1, 9)
+        // duplicate pair is NOT emitted (documented recency-window
+        // divergence)...
+        Seq((9L, text, 16000L)),
+        // ...and a fresh duplicate INSIDE the horizon pairs normally
+        // against the re-admitted member
+        Seq((11L, text, 16400L))))
+    assert(pairs == List((9L, 11L)),
+      s"expected only the in-horizon pair (9,11), got $pairs")
+  }
+
+  test("idle horizon: eviction clears a tombstone — the bucket's fresh " +
+      "population gets a new cap budget") {
+    val text = "same words every time for the saturation test of buckets"
+    val pairs = horizonPairs(horizonMs = 1000L, cap = 2,
+      steps = Seq(
+        Seq((1L, text, 10000L), (2L, text, 10000L)), // cap full; pair (1,2)
+        Seq((3L, text, 10100L)),              // saturates → tombstone
+        Seq((4L, text, 10200L)),              // tombstoned: silence, re-arms
+        Seq((100L, "totally different filler words one", 15000L)),
+        Seq((101L, "other unrelated filler words two", 15500L)),
+        // ^ watermark 15000 ≥ the tombstone's timer (t=11200): evicted.
+        // 5 and 6 re-admit the bucket and pair as a fresh under-cap
+        // population — a new cap budget
+        Seq((5L, text, 16000L), (6L, text, 16000L))))
+    assert(pairs == List((1L, 2L), (5L, 6L)),
+      s"expected ((1,2),(5,6)), got $pairs")
+  }
+
+  test("idle horizon: a bucket touched within the horizon keeps its state") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pairs = horizonPairs(horizonMs = 10000L, cap = TextOps.lshBucketCapShared,
+      steps = Seq(
+        Seq((1L, text, 10000L)),
+        Seq((9L, text, 15000L)),   // within horizon: pairs with 1
+        Seq((11L, text, 19000L)))) // still within: pairs with 1 and 9
+    assert(pairs == List((1L, 9L), (1L, 11L), (9L, 11L)), s"got $pairs")
+  }
+
   test("the (cap+1)-th member tombstones its bucket and emits nothing") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
