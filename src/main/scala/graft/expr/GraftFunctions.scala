@@ -195,6 +195,21 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
+  /** [[dotProduct]] for a STATICALLY-KNOWN width, expanded to a flat
+    * `a[0]·b[0] + a[1]·b[1] + …` left-fold of GetArrayItem products —
+    * bit-identical to the `zip_with`+`aggregate` fold (same element
+    * order, same left-to-right summation, same 0.0 seed — the seed is
+    * KEPT rather than folded away because IEEE `0.0 + (−0.0) = 0.0`
+    * differs from a bare `−0.0` first term), but whole-stage-codegen
+    * friendly: higher-order functions evaluate interpreted (one
+    * NamedLambdaVariable store + one interpreted tree walk per
+    * element), which is the hot-path cost in a 600 k-row-per-epoch
+    * trainer; GetArrayItem compiles into the stage (guide §4). */
+  def dotProductFixed(a: Column, b: Column, width: Int): Column = {
+    require(width > 0, s"width must be positive, got $width")
+    (0 until width).map(i => a(i) * b(i)).foldLeft(lit(0.0d))(_ + _)
+  }
+
   /** Euclidean norm of an array column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))

@@ -780,14 +780,15 @@ object Recommender {
     * bounded per-user groups; everything else is equi-joins. */
   private[graft] def topNMetric(uf: DataFrame, vf: DataFrame,
       train: DataFrame, test: DataFrame, k: Int,
-      probeLimit: Int): DataFrame = {
+      probeLimit: Int, width: Int): DataFrame = {
     val allProbes = uf.select(col("user_id")).orderBy(col("user_id"))
     val probe = if (probeLimit > 0) allProbes.limit(probeLimit) else allProbes
     val pu = uf.join(broadcast(probe), Seq("user_id"))
       .select(col("user_id"), col("val").as("uval"))
-    val dotScore = round(aggregate(
-      zip_with(col("uval"), col("vval"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x), 6)
+    // statically-expanded dot (bit-identical fold; codegen'd — this
+    // runs once per probe×item candidate row, the metric's hot path)
+    val dotScore = round(graft.expr.GraftFunctions.dotProductFixed(
+      col("uval"), col("vval"), width), 6)
     val ranked = vf.select(col("item_id"), col("val").as("vval"))
       .crossJoin(broadcast(pu))
       .select(col("user_id"), col("item_id"), dotScore.as("score"))
@@ -833,7 +834,8 @@ object Recommender {
       val train = r.where((col("user_id") + col("item_id")) % 4 =!= 0)
       val (uf, vf) = graft.rec.GradientMF.bprTrainedFactors(
         train, GdRank, lr = 1.0, reg = GdReg, GdEpochs)
-      topNMetric(uf, vf, train, test, k = 20, probeLimit = 50)
+      topNMetric(uf, vf, train, test, k = 20, probeLimit = 50,
+        width = GdRank)
     },
     Some {
       val e = GdEpochs

@@ -111,9 +111,14 @@ object GradientMF {
   private def initVec(kind: String, id: Column, rank: Int): Column =
     array((0 until rank).map(f => initVal(kind, id, lit(f.toLong))): _*)
 
-  /** Fixed-order dot product (f ascending) — a codegen'd fold, no agg. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Fixed-order dot product (f ascending), statically expanded for
+    * the known rank — bit-identical to the former
+    * `aggregate(zip_with(...))` fold (same order, same 0.0 seed) but
+    * whole-stage-codegen'd instead of interpreted per element
+    * ([[graft.expr.GraftFunctions.dotProductFixed]]): this runs once
+    * per rating row per epoch, the trainers' hottest expression. */
+  private def dot(a: Column, b: Column, width: Int): Column =
+    graft.expr.GraftFunctions.dotProductFixed(a, b, width)
 
   /** One aggregated rank-length vector: element i is `mk(i)` (an
     * aggregate expression), assembled with `array` so a whole gradient
@@ -166,7 +171,7 @@ object GradientMF {
         .join(broadcast(v.select(col("item_id"), col("val").as("vv"))),
           Seq("item_id"))
         .select(col("user_id"), col("item_id"),
-          (dot(col("uv"), col("vv")) - col("res")).as("err"),
+          (dot(col("uv"), col("vv"), rank) - col("res")).as("err"),
           col("uv"), col("vv"))
 
     def epochLoss(k: Int, p: DataFrame): DataFrame =
@@ -357,8 +362,12 @@ object GradientMF {
         .join(broadcast(v.select(col("item_id").as("neg_item"),
           col("val").as("nval"))), Seq("neg_item"))
         .select(col("user_id"), col("pos_item"), col("neg_item"),
-          dot(col("uval"), zip_with(col("pval"), col("nval"),
-            (p, n) => p - n)).as("d"),
+          // Σ u[i]·(p[i]−n[i]), statically expanded — the same
+          // left-to-right fold (and 0.0 seed) as the former
+          // dot(uval, zip_with(pval, nval, _-_)) composition
+          (0 until width).map(i =>
+              col("uval")(i) * (col("pval")(i) - col("nval")(i)))
+            .foldLeft(lit(0.0d))(_ + _).as("d"),
           col("uval"), col("pval"), col("nval"))
 
     var u = init("u", tr.select(col("user_id")).distinct(), "user_id")
@@ -447,7 +456,8 @@ object GradientMF {
         Seq("user_id"))
       .join(broadcast(vp.select(col("item_id"), col("val").as("vv"))),
         Seq("item_id"))
-      .select(col("res"), (dot(col("uv"), col("vv")) - col("res")).as("err"))
+      .select(col("res"),
+        (dot(col("uv"), col("vv"), rank) - col("res")).as("err"))
       .agg(count(lit(1)).as("n_test"),
         round(sqrt(avg(col("res") * col("res"))), 6).as("baseline_rmse"),
         round(sqrt(avg(col("err") * col("err"))), 6).as("test_rmse"))
@@ -509,7 +519,7 @@ object GradientMF {
         .join(broadcast(vp.select(col("item_id"), col("val").as("vv"))),
           Seq("item_id"))
         .select(col("user_id"), col("item_id"),
-          (dot(col("uv"), col("vv")) - col("res")).as("err"),
+          (dot(col("uv"), col("vv"), rank) - col("res")).as("err"),
           col("uv"), col("vv"))
 
     var u = init("u", "user_id").checkpointLeaf

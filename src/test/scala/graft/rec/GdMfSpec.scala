@@ -146,13 +146,15 @@ class GdMfSpec extends SparkSpec {
     val (u0, v0) = GradientMF.bprTrainedFactorsAllPos(
       train, rank = 8, lr = 1.0, reg = 0.02, epochs = 0)
     val Seq((_, p0, _)) = graft.queries.Recommender
-      .topNMetric(u0, v0, train, test, k = 20, probeLimit = 0)
+      .topNMetric(u0, v0, train, test, k = 20, probeLimit = 0,
+        width = 9) // rank 8 + the item-bias coordinate
       .as[(Long, Double, Double)].collect().toSeq
 
     val (uf, vf) = GradientMF.bprTrainedFactorsAllPos(
       train, rank = 8, lr = 1.0, reg = 0.02, epochs = 24)
     val Seq((nUsers, p20, r20)) = graft.queries.Recommender
-      .topNMetric(uf, vf, train, test, k = 20, probeLimit = 0)
+      .topNMetric(uf, vf, train, test, k = 20, probeLimit = 0,
+        width = 9) // rank 8 + the item-bias coordinate
       .as[(Long, Double, Double)].collect().toSeq
 
     info(f"P@20 $p20%.4f R@20 $r20%.4f over $nUsers users " +

@@ -87,7 +87,8 @@ object TopnSweep {
     def report(tag: String, uf: org.apache.spark.sql.DataFrame,
                vf: org.apache.spark.sql.DataFrame): Unit = {
       val row = graft.queries.Recommender
-        .topNMetric(uf, vf, train, test, k = 20, probeLimit = 0)
+        .topNMetric(uf, vf, train, test, k = 20, probeLimit = 0,
+          width = rank + 1) // all-pos trainer carries the item-bias slot
         .collect()(0)
       println(s"RESULT $tag itemZipf=$itemZipf userZipf=$userZipf rank=$rank " +
         s"lr=$lr reg=$reg epochs=$epochs posMin=$posMin " +
